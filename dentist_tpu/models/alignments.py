@@ -1,0 +1,185 @@
+"""Local-alignment data model: trace-point encoded alignments + chains.
+
+Re-expresses the reference alignment model
+(``source/dentist/common/alignments/base.d``):
+
+- ``FlatLocalAlignment`` records (``base.d:1645``) become one
+  struct-of-arrays :class:`LocalAlignmentSet` — contig/read ids, begin/end
+  coordinates on A and B, complement flag, diff count, and the
+  trace-point arrays (``TracePoint{numDiffs, numBasePairs}``,
+  ``base.d:148``) stored ragged via offsets.
+- Trace spacing is the constant 126 the reference forces wherever it
+  reads traces (``forceLargeTracePointType = 126``,
+  ``source/dentist/dazzler.d:154``).
+- Coordinate translation via trace points without DP mirrors
+  ``Trace.translateTracePoint`` (``base.d:185-242``).
+- B coordinates of complement alignments live on the reverse-complemented
+  B strand (Dazzler ``.las`` convention).
+
+Trace layout per alignment: the first interval spans ``a_begin`` to the
+next multiple of 126 (or ``a_end`` if closer), interior intervals are full
+126-bp A segments aligned to trace boundaries, and the final interval ends
+at ``a_end``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["TRACE_SPACING", "LocalAlignmentSet", "concat_alignments"]
+
+TRACE_SPACING = 126
+
+
+def _trace_boundaries(a_begin: int, a_end: int) -> np.ndarray:
+    """A coordinates of trace interval boundaries: a_begin, 126-multiples, a_end."""
+    first = (a_begin // TRACE_SPACING + 1) * TRACE_SPACING
+    mids = np.arange(first, a_end, TRACE_SPACING, dtype=np.int64)
+    return np.concatenate([[a_begin], mids, [a_end]])
+
+
+@dataclass
+class LocalAlignmentSet:
+    """Struct-of-arrays set of flat local alignments with trace points."""
+
+    a_id: np.ndarray  # int32, 1-based
+    b_id: np.ndarray  # int32, 1-based
+    complement: np.ndarray  # bool
+    a_begin: np.ndarray  # int32
+    a_end: np.ndarray
+    b_begin: np.ndarray  # on aligned strand of B
+    b_end: np.ndarray
+    diffs: np.ndarray  # int32 total
+    trace_offsets: np.ndarray  # int64, len n+1
+    trace_diffs: np.ndarray  # int32 concat
+    trace_b_adv: np.ndarray  # int32 concat
+    #: optional chain assignment: -1 = unchained
+    chain_id: np.ndarray = field(default=None)
+    #: per-alignment flags
+    disabled: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        n = len(self.a_id)
+        if self.chain_id is None:
+            self.chain_id = np.full(n, -1, dtype=np.int64)
+        if self.disabled is None:
+            self.disabled = np.zeros(n, dtype=bool)
+
+    def __len__(self) -> int:
+        return len(self.a_id)
+
+    @classmethod
+    def empty(cls) -> "LocalAlignmentSet":
+        z = np.empty(0, dtype=np.int32)
+        return cls(
+            a_id=z.copy(), b_id=z.copy(), complement=np.empty(0, dtype=bool),
+            a_begin=z.copy(), a_end=z.copy(), b_begin=z.copy(), b_end=z.copy(),
+            diffs=z.copy(), trace_offsets=np.zeros(1, dtype=np.int64),
+            trace_diffs=z.copy(), trace_b_adv=z.copy(),
+        )
+
+    # -- per-alignment views ------------------------------------------
+    def trace(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(num_diffs, b_adv) trace arrays of alignment i."""
+        lo, hi = self.trace_offsets[i], self.trace_offsets[i + 1]
+        return self.trace_diffs[lo:hi], self.trace_b_adv[lo:hi]
+
+    def a_length(self, i: int) -> int:
+        return int(self.a_end[i] - self.a_begin[i])
+
+    def b_length(self, i: int) -> int:
+        return int(self.b_end[i] - self.b_begin[i])
+
+    def error_rate(self, i: int) -> float:
+        denom = self.a_length(i) + self.b_length(i)
+        return 2.0 * float(self.diffs[i]) / denom if denom else 0.0
+
+    def select(self, mask_or_idx) -> "LocalAlignmentSet":
+        """Subset of alignments (boolean mask or index array), traces included."""
+        idx = np.flatnonzero(mask_or_idx) if np.asarray(mask_or_idx).dtype == bool else np.asarray(mask_or_idx)
+        counts = (self.trace_offsets[1:] - self.trace_offsets[:-1])[idx]
+        new_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        td = np.empty(int(counts.sum()), dtype=np.int32)
+        tb = np.empty_like(td)
+        for k, i in enumerate(idx):
+            lo, hi = self.trace_offsets[i], self.trace_offsets[i + 1]
+            td[new_offsets[k] : new_offsets[k + 1]] = self.trace_diffs[lo:hi]
+            tb[new_offsets[k] : new_offsets[k + 1]] = self.trace_b_adv[lo:hi]
+        return LocalAlignmentSet(
+            a_id=self.a_id[idx], b_id=self.b_id[idx], complement=self.complement[idx],
+            a_begin=self.a_begin[idx], a_end=self.a_end[idx],
+            b_begin=self.b_begin[idx], b_end=self.b_end[idx],
+            diffs=self.diffs[idx], trace_offsets=new_offsets,
+            trace_diffs=td, trace_b_adv=tb,
+            chain_id=self.chain_id[idx], disabled=self.disabled[idx],
+        )
+
+    # -- coordinate translation ---------------------------------------
+    def translate_a_to_b(self, i: int, a: int, round_up: bool = False) -> tuple[int, int]:
+        """Translate A coordinate `a` to the nearest trace boundary's B coord.
+
+        Returns ``(a_at_boundary, b_at_boundary)`` for the last boundary
+        ≤ `a` (or first ≥ `a` if `round_up`).  Mirrors
+        ``Trace.translateTracePoint`` (``base.d:185-242``).
+        """
+        a_beg, a_end = int(self.a_begin[i]), int(self.a_end[i])
+        assert a_beg <= a <= a_end, (a_beg, a, a_end)
+        bounds = _trace_boundaries(a_beg, a_end)
+        _, b_adv = self.trace(i)
+        b_cum = np.concatenate([[0], np.cumsum(b_adv)])
+        if round_up:
+            k = int(np.searchsorted(bounds, a, side="left"))
+        else:
+            k = int(np.searchsorted(bounds, a, side="right")) - 1
+        k = min(max(k, 0), len(bounds) - 1)
+        return int(bounds[k]), int(self.b_begin[i]) + int(b_cum[k])
+
+    def boundaries_and_b(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """All trace boundaries and cumulative B coordinates of alignment i."""
+        bounds = _trace_boundaries(int(self.a_begin[i]), int(self.a_end[i]))
+        _, b_adv = self.trace(i)
+        b = int(self.b_begin[i]) + np.concatenate([[0], np.cumsum(b_adv)])
+        return bounds, b
+
+    def sort(self) -> "LocalAlignmentSet":
+        """Canonical total order: (a_id, b_id, complement, a_begin, b_begin).
+
+        Determinism anchor — the reference "sorts by IDs everywhere"
+        (SURVEY §7 hard part 5).
+        """
+        order = np.lexsort(
+            (self.b_begin, self.a_begin, self.complement, self.b_id, self.a_id)
+        )
+        return self.select(order)
+
+
+def concat_alignments(sets: list[LocalAlignmentSet]) -> LocalAlignmentSet:
+    sets = [s for s in sets if len(s)]
+    if not sets:
+        return LocalAlignmentSet.empty()
+    return LocalAlignmentSet(
+        a_id=np.concatenate([s.a_id for s in sets]),
+        b_id=np.concatenate([s.b_id for s in sets]),
+        complement=np.concatenate([s.complement for s in sets]),
+        a_begin=np.concatenate([s.a_begin for s in sets]),
+        a_end=np.concatenate([s.a_end for s in sets]),
+        b_begin=np.concatenate([s.b_begin for s in sets]),
+        b_end=np.concatenate([s.b_end for s in sets]),
+        diffs=np.concatenate([s.diffs for s in sets]),
+        trace_offsets=_concat_offsets([s.trace_offsets for s in sets]),
+        trace_diffs=np.concatenate([s.trace_diffs for s in sets]),
+        trace_b_adv=np.concatenate([s.trace_b_adv for s in sets]),
+        chain_id=np.concatenate([s.chain_id for s in sets]),
+        disabled=np.concatenate([s.disabled for s in sets]),
+    )
+
+
+def _concat_offsets(offset_arrays: list[np.ndarray]) -> np.ndarray:
+    out = [np.zeros(1, dtype=np.int64)]
+    base = 0
+    for off in offset_arrays:
+        out.append(off[1:] + base)
+        base += off[-1]
+    return np.concatenate(out)

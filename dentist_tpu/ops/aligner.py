@@ -1,0 +1,414 @@
+"""Alignment engine driver: seeds → banded extension → trace-point LAs.
+
+The daligner/damapper/datander replacement (SURVEY §2.3).  One engine,
+three drivers:
+
+- :func:`align_store_pair` — generic "align every query against the
+  indexed target" (self-alignment when query store *is* the target store,
+  with the identity diagonal suppressed — daligner semantics).
+- Mapping (damapper) and tandem (datander) behaviors are thin
+  parameterizations built on top (see :mod:`dentist_tpu.models.mask`
+  and the pipeline stages).
+
+Flow per query & strand: k-mer lookup → diagonal clustering
+(:mod:`.seeding`) → per candidate, snap an anchor to a 126-multiple of A
+and extend bidirectionally with the batched banded DP (:mod:`.banded`).
+Jobs are bucketed by window length into power-of-two-ish row counts so
+each bucket is one static-shape TPU dispatch; buckets flush when full.
+
+Trace points every 126 bp of A are extracted from the per-row DP output;
+local-alignment ends are the score-argmax rows (daligner's ≤30 % error
+model, see :data:`.banded.DIFF_PENALTY`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.fasta import reverse_complement
+from ..models.alignments import TRACE_SPACING, LocalAlignmentSet, concat_alignments
+from ..utils.log import log_json
+from .banded import extend_batch
+from .seeding import KmerIndex, SeedCandidate, cluster_seeds
+
+__all__ = ["AlignerConfig", "Aligner", "align_store_pair"]
+
+_BUCKETS = [2 * TRACE_SPACING * (1 << i) for i in range(9)]  # 252 .. 64512
+
+
+@dataclass
+class AlignerConfig:
+    k: int = 14
+    max_occ: int = 48  # drop k-mers with more index hits (repeat storm guard)
+    band_width: int = 128
+    min_seeds: int = 3
+    min_span: int = 100
+    max_seed_gap: int = 2000
+    #: minimum local alignment length, (a_len+b_len)/2 — daligner -l
+    min_length: int = 500
+    #: maximum error rate 2*diffs/(a_len+b_len) — daligner 1-e
+    max_error: float = 0.32
+    batch_size: int = 64  # jobs per bucket flush
+    #: overlap fraction (A and B) above which two LAs are duplicates
+    dedup_overlap: float = 0.5
+
+
+def _bucket_for(r: int) -> int:
+    for b in _BUCKETS:
+        if r <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+@dataclass
+class _Job:
+    cand_idx: int
+    direction: int  # +1 forward, -1 backward
+    a_chars: np.ndarray  # (R_valid,) codes
+    b_chars: np.ndarray  # full B-side strand sequence (view)
+    b_anchor: int  # b0 for forward, b0 for backward (chars taken from there)
+    b_rem: int  # valid B length in this direction
+    centers: np.ndarray  # (R_valid+1,) int32
+    r_valid: int
+
+
+@dataclass
+class _CandState:
+    a_id: int
+    b_id: int
+    complement: bool
+    a0: int
+    b0: int
+    n_seeds: int
+    fwd: tuple | None = None  # (r, j, d, score, trace_j, trace_d)
+    bwd: tuple | None = None
+
+
+class Aligner:
+    """Aligns query sequences against an indexed target store."""
+
+    def __init__(self, index: KmerIndex, target_codes: np.ndarray,
+                 config: AlignerConfig | None = None):
+        self.index = index
+        self.target_codes = target_codes
+        self.cfg = config or AlignerConfig()
+        self._pending: dict[int, list[tuple[_Job, dict]]] = {b: [] for b in _BUCKETS}
+        self._results: list[LocalAlignmentSet] = []
+        self._cands: list[_CandState] = []
+
+    # ------------------------------------------------------------------
+    def _target_seq(self, a_id: int) -> np.ndarray:
+        o = self.index.offsets[a_id - 1]
+        return self.target_codes[o : o + self.index.lengths[a_id - 1]]
+
+    def _make_jobs(self, cand: SeedCandidate, b_codes: np.ndarray, b_id: int):
+        """Anchor a candidate and enqueue forward/backward extension jobs."""
+        cfg = self.cfg
+        W = cfg.band_width
+        a_seq = self._target_seq(cand.a_seq)
+        a_len, b_len = len(a_seq), len(b_codes)
+        ap, bp = cand.a_pos, cand.b_pos
+        # unique, increasing a positions for interpolation
+        ap_u, idx_u = np.unique(ap, return_index=True)
+        bp_u = bp[idx_u]
+
+        # anchor: multiple of TRACE_SPACING near cluster middle with valid b0
+        a_mid = (ap_u[0] + ap_u[-1]) // 2
+        candidates_a0 = TRACE_SPACING * np.arange(
+            ap_u[0] // TRACE_SPACING, ap_u[-1] // TRACE_SPACING + 2
+        )
+        candidates_a0 = candidates_a0[(candidates_a0 >= 0) & (candidates_a0 <= a_len)]
+        if len(candidates_a0) == 0:
+            return
+        b_interp = _interp_slope1(candidates_a0, ap_u, bp_u)
+        ok = (b_interp >= 0) & (b_interp <= b_len)
+        if not ok.any():
+            return
+        candidates_a0, b_interp = candidates_a0[ok], b_interp[ok]
+        pick = int(np.argmin(np.abs(candidates_a0 - a_mid)))
+        a0 = int(candidates_a0[pick])
+        b0 = int(b_interp[pick])
+
+        ci = len(self._cands)
+        self._cands.append(
+            _CandState(cand.a_seq, b_id, cand.complement, a0, b0, cand.n_seeds)
+        )
+
+        # forward job
+        a_rem, b_rem = a_len - a0, b_len - b0
+        r_f = int(min(a_rem, 1.5 * b_rem + W))
+        if r_f > 0:
+            rows = np.arange(r_f + 1)
+            centers = _interp_slope1(a0 + rows, ap_u, bp_u) - b0
+            centers = np.maximum.accumulate(np.clip(centers, 0, b_rem))
+            self._enqueue(_Job(ci, +1, a_seq[a0 : a0 + r_f], b_codes, b0, b_rem,
+                               centers.astype(np.int32), r_f))
+        # backward job (mirrored coordinates)
+        r_b = int(min(a0, 1.5 * b0 + W))
+        if r_b > 0:
+            rows = np.arange(r_b + 1)
+            centers = b0 - _interp_slope1(a0 - rows, ap_u, bp_u)
+            centers = np.maximum.accumulate(np.clip(centers, 0, b0))
+            self._enqueue(_Job(ci, -1, a_seq[a0 - r_b : a0][::-1], b_codes, b0, b0,
+                               centers.astype(np.int32), r_b))
+
+    def _enqueue(self, job: _Job):
+        bucket = _bucket_for(job.r_valid)
+        self._pending[bucket].append(job)
+        if len(self._pending[bucket]) >= self.cfg.batch_size:
+            self._flush_bucket(bucket)
+
+    def _flush_bucket(self, bucket: int):
+        jobs = self._pending[bucket]
+        if not jobs:
+            return
+        self._pending[bucket] = []
+        cfg = self.cfg
+        W = cfg.band_width
+        # pad the batch to a fixed lane count: one compilation per bucket
+        N, R = max(len(jobs), cfg.batch_size), bucket
+        BW = R + 2 * W
+        a_win = np.zeros((N, R), dtype=np.uint8)
+        b_win = np.zeros((N, BW), dtype=np.uint8)
+        a_lens = np.zeros(N, dtype=np.int32)
+        b_lens = np.zeros(N, dtype=np.int32)
+        centers = np.zeros((N, R + 1), dtype=np.int32)
+        for n, j in enumerate(jobs):
+            a_win[n, : j.r_valid] = j.a_chars
+            a_lens[n] = j.r_valid
+            b_lens[n] = min(j.b_rem, R + W // 2)
+            # B chars for this direction: forward = b_chars[b0:], backward =
+            # reversed b_chars[:b0]; columns j+W hold B[j] for j ≥ -W.
+            if j.direction > 0:
+                src = j.b_chars[max(0, j.b_anchor - W) : j.b_anchor + R + W]
+                lead = W - min(W, j.b_anchor)  # columns with no B char
+                b_win[n, lead : lead + len(src)] = src
+            else:
+                rev = j.b_chars[max(0, j.b_anchor - (R + W)) : j.b_anchor + W][::-1]
+                lead = W - min(W, len(j.b_chars) - j.b_anchor)
+                b_win[n, lead : lead + len(rev)] = rev
+            cl = len(j.centers)
+            centers[n, :cl] = j.centers
+            centers[n, cl:] = j.centers[-1]
+        row_j, row_d, row_s = extend_batch(a_win, b_win, a_lens, b_lens, centers, W=W)
+        for n, j in enumerate(jobs):
+            res = _summarize(row_j[n], row_d[n], row_s[n], j.r_valid)
+            cand = self._cands[j.cand_idx]
+            if j.direction > 0:
+                cand.fwd = res
+            else:
+                cand.bwd = res
+
+    # ------------------------------------------------------------------
+    def align_query(self, b_codes: np.ndarray, b_id: int,
+                    exclude_identity: bool = False,
+                    strands: tuple = (False, True)):
+        """Enqueue all candidates of one query (both strands by default)."""
+        cfg = self.cfg
+        for comp in strands:
+            q = reverse_complement(b_codes) if comp else b_codes
+            a_pos, b_pos = self.index.lookup(q, max_occ=cfg.max_occ)
+            cands = cluster_seeds(
+                self.index, a_pos, b_pos, comp,
+                max_gap=cfg.max_seed_gap, min_seeds=cfg.min_seeds,
+                min_span=cfg.min_span,
+                exclude_identity_seq=b_id if exclude_identity else None,
+            )
+            for cand in cands:
+                self._make_jobs(cand, q, b_id)
+
+    def finish(self) -> LocalAlignmentSet:
+        """Flush pending jobs and assemble the alignment set."""
+        for b in _BUCKETS:
+            self._flush_bucket(b)
+        las = _assemble(self._cands, self.cfg)
+        self._cands = []
+        return las
+
+
+def _interp_slope1(x, xp, fp):
+    """np.interp with slope-1 (diagonal) extrapolation beyond the seeds."""
+    x = np.asarray(x)
+    y = np.interp(x, xp, fp)
+    y = np.where(x < xp[0], fp[0] - (xp[0] - x), y)
+    y = np.where(x > xp[-1], fp[-1] + (x - xp[-1]), y)
+    return y.astype(np.int64)
+
+
+def _summarize(row_j, row_d, row_s, r_valid):
+    """Per-direction DP output → (r_end, j_end, d_end, score, trace_j, trace_d).
+
+    trace_* are sampled at rows 126, 252, … ≤ r_end (monotone envelopes).
+    """
+    row_j = row_j[:r_valid]
+    row_d = row_d[:r_valid]
+    row_s = row_s[:r_valid]
+    if r_valid == 0 or row_s.size == 0 or row_s.max() <= 0:
+        return (0, 0, 0, 0, np.empty(0, np.int64), np.empty(0, np.int64))
+    jm = np.maximum.accumulate(row_j)
+    dm = np.maximum.accumulate(row_d)
+    r_end = int(np.argmax(row_s)) + 1  # rows are 1-based
+    j_end = int(jm[r_end - 1])
+    d_end = int(dm[r_end - 1])
+    score = int(row_s[r_end - 1])
+    tr_rows = np.arange(TRACE_SPACING, r_end, TRACE_SPACING)
+    trace_j = np.minimum(jm[tr_rows - 1], j_end)
+    trace_d = np.minimum(dm[tr_rows - 1], d_end)
+    return (r_end, j_end, d_end, score, trace_j.astype(np.int64), trace_d.astype(np.int64))
+
+
+def _assemble(cands: list[_CandState], cfg: AlignerConfig) -> LocalAlignmentSet:
+    """Combine per-candidate direction results into a LocalAlignmentSet."""
+    rec = {k: [] for k in ("a_id", "b_id", "comp", "ab", "ae", "bb", "be", "df", "sc")}
+    traces: list[tuple[np.ndarray, np.ndarray]] = []
+    for c in cands:
+        fwd = c.fwd or (0, 0, 0, 0, np.empty(0, np.int64), np.empty(0, np.int64))
+        bwd = c.bwd or (0, 0, 0, 0, np.empty(0, np.int64), np.empty(0, np.int64))
+        r_f, j_f, d_f, s_f, tj_f, td_f = fwd
+        r_b, j_b, d_b, s_b, tj_b, td_b = bwd
+        a_begin, a_end = c.a0 - r_b, c.a0 + r_f
+        b_begin, b_end = c.b0 - j_b, c.b0 + j_f
+        a_len, b_len = a_end - a_begin, b_end - b_begin
+        if (a_len + b_len) / 2 < cfg.min_length:
+            continue
+        diffs = d_f + d_b
+        err = 2.0 * diffs / max(1, a_len + b_len)
+        if err > cfg.max_error:
+            continue
+        # assemble cumulative (b, d) at every trace boundary of A
+        # backward rows r=126k < r_b map to boundary a0-r with
+        # b = b0 - tj_b[k], cumdiff-from-start = d_b - td_b[k]
+        b_pts = [b_begin]
+        d_pts = [0]
+        for tj, td in zip(tj_b[::-1], td_b[::-1]):
+            b_pts.append(c.b0 - int(tj))
+            d_pts.append(d_b - int(td))
+        if r_b > 0:
+            b_pts.append(c.b0)
+            d_pts.append(d_b)
+        for tj, td in zip(tj_f, td_f):
+            b_pts.append(c.b0 + int(tj))
+            d_pts.append(d_b + int(td))
+        b_pts.append(b_end)
+        d_pts.append(diffs)
+        b_pts = np.maximum.accumulate(np.array(b_pts, dtype=np.int64))
+        d_pts = np.maximum.accumulate(np.array(d_pts, dtype=np.int64))
+        # boundaries: a_begin, mids(126), a0(=126k), mids, a_end — drop the
+        # duplicated anchor entry when both directions exist; drop duplicate
+        # first/last boundary when a_begin/a_end are themselves multiples.
+        bounds = [a_begin]
+        bounds += list(range(a_begin // TRACE_SPACING * TRACE_SPACING + TRACE_SPACING,
+                             a_end, TRACE_SPACING))
+        bounds.append(a_end)
+        bounds = np.array(bounds, dtype=np.int64)
+        bounds = bounds[np.concatenate([[True], np.diff(bounds) > 0])]
+        if len(b_pts) != len(bounds):
+            # defensive: resample via linear interpolation on the collected pts
+            full = np.linspace(0, 1, len(b_pts))
+            want = (bounds - a_begin) / max(1, a_end - a_begin)
+            b_pts = np.interp(want, full, b_pts).astype(np.int64)
+            d_pts = np.interp(want, full, d_pts).astype(np.int64)
+        tb = np.diff(b_pts)
+        td_arr = np.diff(d_pts)
+        rec["a_id"].append(c.a_id)
+        rec["b_id"].append(c.b_id)
+        rec["comp"].append(c.complement)
+        rec["ab"].append(a_begin)
+        rec["ae"].append(a_end)
+        rec["bb"].append(b_begin)
+        rec["be"].append(b_end)
+        rec["df"].append(diffs)
+        rec["sc"].append(s_f + s_b)
+        traces.append((td_arr.astype(np.int32), tb.astype(np.int32)))
+
+    if not rec["a_id"]:
+        return LocalAlignmentSet.empty()
+    las = _build_las(rec, traces)
+    return _dedup(las, np.array(rec["sc"]), cfg)
+
+
+def _build_las(rec, traces) -> LocalAlignmentSet:
+    counts = np.array([len(t[0]) for t in traces], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return LocalAlignmentSet(
+        a_id=np.array(rec["a_id"], dtype=np.int32),
+        b_id=np.array(rec["b_id"], dtype=np.int32),
+        complement=np.array(rec["comp"], dtype=bool),
+        a_begin=np.array(rec["ab"], dtype=np.int32),
+        a_end=np.array(rec["ae"], dtype=np.int32),
+        b_begin=np.array(rec["bb"], dtype=np.int32),
+        b_end=np.array(rec["be"], dtype=np.int32),
+        diffs=np.array(rec["df"], dtype=np.int32),
+        trace_offsets=offsets,
+        trace_diffs=np.concatenate([t[0] for t in traces]) if traces else np.empty(0, np.int32),
+        trace_b_adv=np.concatenate([t[1] for t in traces]) if traces else np.empty(0, np.int32),
+    )
+
+
+def _dedup(las: LocalAlignmentSet, scores: np.ndarray, cfg: AlignerConfig) -> LocalAlignmentSet:
+    """Drop near-duplicate alignments (same pair/strand, high mutual overlap)."""
+    n = len(las)
+    if n <= 1:
+        return las
+    order = np.lexsort((-scores, las.a_begin, las.complement, las.b_id, las.a_id))
+    keep = np.ones(n, dtype=bool)
+    for ii in range(n):
+        i = order[ii]
+        if not keep[i]:
+            continue
+        for jj in range(ii + 1, n):
+            j = order[jj]
+            if not keep[j]:
+                continue
+            if (las.a_id[j] != las.a_id[i] or las.b_id[j] != las.b_id[i]
+                    or las.complement[j] != las.complement[i]):
+                break
+            if las.a_begin[j] >= las.a_end[i]:
+                break
+            ov_a = min(las.a_end[i], las.a_end[j]) - max(las.a_begin[i], las.a_begin[j])
+            ov_b = min(las.b_end[i], las.b_end[j]) - max(las.b_begin[i], las.b_begin[j])
+            min_a = min(las.a_length(i), las.a_length(j))
+            min_b = min(las.b_length(i), las.b_length(j))
+            if (min_a > 0 and ov_a / min_a > cfg.dedup_overlap
+                    and min_b > 0 and ov_b / min_b > cfg.dedup_overlap):
+                # keep higher score (i precedes j in score order)
+                if scores[i] >= scores[j]:
+                    keep[j] = False
+                else:
+                    keep[i] = False
+                    break
+        if not keep[i]:
+            continue
+    return las.select(keep).sort()
+
+
+def align_store_pair(
+    target_codes: np.ndarray,
+    target_offsets: np.ndarray,
+    target_lengths: np.ndarray,
+    queries: list[np.ndarray],
+    query_ids: list[int] | None = None,
+    config: AlignerConfig | None = None,
+    mask_intervals: np.ndarray | None = None,
+    self_alignment: bool = False,
+) -> LocalAlignmentSet:
+    """Align every query against the target store; returns sorted LAs.
+
+    With ``self_alignment=True`` the queries are the target's own
+    sequences and the identity diagonal is suppressed (daligner ``-I``
+    self-comparison semantics).
+    """
+    cfg = config or AlignerConfig()
+    index = KmerIndex(target_codes, target_offsets, target_lengths, k=cfg.k,
+                      mask_intervals=mask_intervals)
+    aligner = Aligner(index, target_codes, cfg)
+    ids = query_ids or list(range(1, len(queries) + 1))
+    for q, qid in zip(queries, ids):
+        aligner.align_query(np.asarray(q, dtype=np.uint8), qid,
+                            exclude_identity=self_alignment)
+    las = aligner.finish()
+    log_json("diagnostic", event="alignStorePair", nQueries=len(queries),
+             nAlignments=len(las))
+    return las

@@ -1,0 +1,232 @@
+"""K-mer seeding: index construction, lookup, diagonal clustering.
+
+Replaces daligner/damapper's k-mer (k=14) seed detection
+(``SURVEY.md §2.3``: "k-mer seed → diagonal-band merge").  Design:
+
+- The target ("A") side is one concatenated code array (the assembly
+  contig store or a read store).  Its k-mers are encoded as 28-bit ints
+  and sorted once — a *sorted-array index* rather than a hash table, so
+  lookup is ``searchsorted`` (binary search), which vectorizes on both
+  NumPy and TPU (``jnp.searchsorted`` = batched binary-search gathers).
+- Query k-mers probe the sorted array; over-represented k-mers
+  (``max_occ``) are dropped, which both bounds work and suppresses
+  repeat-induced seed storms (daligner's masking serves this role).
+- Seeds ``(a_pos, b_pos)`` are clustered by consistent diagonal drift
+  into alignment candidates (daligner's diagonal-band merge): one sort
+  over (query, strand, a_pos) and vectorized break-flag computation — no
+  per-seed Python.
+
+Positions in the index are *global* concatenated coordinates; candidates
+are split at contig boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["KmerIndex", "SeedCandidate", "cluster_seeds", "kmer_codes"]
+
+DEFAULT_K = 14
+
+
+def kmer_codes(codes: np.ndarray, k: int = DEFAULT_K) -> np.ndarray:
+    """Encode all k-mers of a code array as ints (length ``len - k + 1``)."""
+    codes = np.asarray(codes)
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for t in range(k):
+        out = out * 4 + codes[t : t + n]
+    return out
+
+
+class KmerIndex:
+    """Sorted k-mer index over a concatenated sequence store."""
+
+    def __init__(
+        self,
+        codes: np.ndarray,
+        offsets: np.ndarray,
+        lengths: np.ndarray,
+        k: int = DEFAULT_K,
+        mask_intervals: np.ndarray | None = None,
+    ):
+        """`mask_intervals`: (M, 3) global-coordinate (unused_tag, begin, end)
+        or (M, 2) begin/end intervals in *global* coordinates where seeds
+        are suppressed (soft masking — daligner ``-m`` track semantics).
+        """
+        self.k = k
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.lengths = np.asarray(lengths, dtype=np.int64)
+        self.ends = self.offsets + self.lengths
+        total = len(codes)
+        km = kmer_codes(codes, k)
+        pos = np.arange(len(km), dtype=np.int64)
+        # drop k-mers spanning a contig boundary
+        valid = np.ones(len(km), dtype=bool)
+        for o in self.offsets[1:]:
+            valid[max(0, o - k + 1) : o] = False
+        # soft masking
+        if mask_intervals is not None and len(mask_intervals):
+            mi = np.asarray(mask_intervals, dtype=np.int64)
+            if mi.shape[1] == 3:
+                mi = mi[:, 1:]
+            for b, e in mi:
+                valid[max(0, b - k + 1) : e] = False
+        km, pos = km[valid], pos[valid]
+        order = np.argsort(km, kind="stable")
+        self.sorted_kmers = km[order]
+        self.sorted_pos = pos[order]
+
+    def seq_id_of(self, global_pos: np.ndarray) -> np.ndarray:
+        """Global position → 1-based sequence id."""
+        return np.searchsorted(self.offsets, global_pos, side="right").astype(np.int64)
+
+    def lookup(self, query_codes: np.ndarray, max_occ: int = 32):
+        """Find seed hits of a query sequence.
+
+        Returns (a_pos global, b_pos in query) int64 arrays.
+        """
+        qk = kmer_codes(query_codes, self.k)
+        if len(qk) == 0 or len(self.sorted_kmers) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        lo = np.searchsorted(self.sorted_kmers, qk, side="left")
+        hi = np.searchsorted(self.sorted_kmers, qk, side="right")
+        occ = hi - lo
+        use = (occ > 0) & (occ <= max_occ)
+        lo, occ = lo[use], occ[use]
+        bpos = np.flatnonzero(use)
+        # expand: for each query kmer, its occ index positions
+        total = int(occ.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        rep_b = np.repeat(bpos, occ)
+        # index into sorted_pos: lo[i] + (0..occ[i]-1)
+        starts = np.repeat(lo, occ)
+        within = np.arange(total) - np.repeat(np.cumsum(occ) - occ, occ)
+        a_pos = self.sorted_pos[starts + within]
+        return a_pos, rep_b.astype(np.int64)
+
+
+@dataclass
+class SeedCandidate:
+    """A diagonal-consistent seed cluster = one alignment candidate."""
+
+    a_seq: int  # 1-based id on the indexed side
+    complement: bool  # query was reverse-complemented
+    a_pos: np.ndarray  # seed positions, local to a_seq
+    b_pos: np.ndarray  # seed positions in query (aligned strand)
+    n_seeds: int = 0
+
+    def __post_init__(self):
+        self.n_seeds = len(self.a_pos)
+
+    @property
+    def a_span(self) -> tuple[int, int]:
+        return int(self.a_pos.min()), int(self.a_pos.max())
+
+    @property
+    def b_span(self) -> tuple[int, int]:
+        return int(self.b_pos.min()), int(self.b_pos.max())
+
+
+def cluster_seeds(
+    index: KmerIndex,
+    a_pos: np.ndarray,
+    b_pos: np.ndarray,
+    complement: bool,
+    max_gap: int = 2000,
+    slope_slack: int = 80,
+    slope_frac: float = 0.35,
+    min_seeds: int = 3,
+    min_span: int = 100,
+    exclude_identity_seq: int | None = None,
+) -> list[SeedCandidate]:
+    """Group seeds of ONE query into diagonal-consistent candidates.
+
+    Seeds sorted by a_pos are split whenever the next seed jumps more than
+    `max_gap` in A, or its diagonal drifts more than
+    ``slope_slack + slope_frac * Δa`` (indel drift tolerance at ≤30%
+    error), or it crosses a contig boundary.  `exclude_identity_seq`
+    drops the trivial self-identity diagonal when aligning a sequence
+    store against itself (daligner skips the identity alignment).
+    """
+    if len(a_pos) == 0:
+        return []
+    seq_ids = index.seq_id_of(a_pos)
+    a_local = a_pos - index.offsets[seq_ids - 1]
+    if exclude_identity_seq is not None and not complement:
+        keep = ~((seq_ids == exclude_identity_seq) & (a_local == b_pos))
+        seq_ids, a_local, b_pos = seq_ids[keep], a_local[keep], b_pos[keep]
+        if len(a_local) == 0:
+            return []
+    diag = a_local - b_pos
+    # Pass 1: vectorized sweep within (seq, coarse diagonal band) buckets.
+    # Indel drift can carry one true alignment across several bands, so
+    # pass 2 merges band-local sub-clusters by endpoint continuity
+    # (daligner's diagonal-band merge).
+    band = diag // (4 * slope_slack)
+    order = np.lexsort((a_local, band, seq_ids))
+    seq_ids, a_local, b_pos, diag, band = (
+        seq_ids[order], a_local[order], b_pos[order], diag[order], band[order],
+    )
+    da = np.diff(a_local)
+    ddiag = np.abs(np.diff(diag))
+    brk = np.ones(len(a_local), dtype=bool)
+    brk[1:] = (
+        (seq_ids[1:] != seq_ids[:-1])
+        | (band[1:] != band[:-1])
+        | (np.abs(da) > max_gap)
+        | (ddiag > slope_slack + slope_frac * np.abs(da))
+    )
+    cluster = np.cumsum(brk) - 1
+    n_clusters = cluster[-1] + 1
+    counts = np.bincount(cluster, minlength=n_clusters)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    subs = []  # (seq, a_start, a_end, b_start, b_end, slice)
+    for c in range(n_clusters):
+        if counts[c] < 2:  # singleton hits are noise
+            continue
+        sl = slice(starts[c], starts[c + 1])
+        ap, bp = a_local[sl], b_pos[sl]
+        o2 = np.argsort(ap, kind="stable")
+        subs.append((int(seq_ids[sl][0]), int(ap[o2][0]), int(ap[o2][-1]),
+                     int(bp[o2][0]), int(bp[o2][-1]), ap[o2], bp[o2]))
+
+    # Pass 2: greedy merge of sub-clusters sorted by (seq, a_start).
+    subs.sort(key=lambda s: (s[0], s[1], s[3]))
+    merged: list[list] = []  # mutable [seq, a0, a1, b0, b1, [ap...], [bp...]]
+    for s in subs:
+        attached = False
+        for m in reversed(merged[-8:]):
+            if m[0] != s[0]:
+                continue
+            gap_a = s[1] - m[2]
+            gap_b = s[3] - m[4]
+            if gap_a > max_gap:
+                continue
+            if abs(gap_a - gap_b) <= slope_slack + slope_frac * max(abs(gap_a), abs(gap_b)):
+                m[2] = max(m[2], s[2])
+                m[4] = max(m[4], s[4])
+                m[5].append(s[5])
+                m[6].append(s[6])
+                attached = True
+                break
+        if not attached:
+            merged.append([s[0], s[1], s[2], s[3], s[4], [s[5]], [s[6]]])
+
+    out: list[SeedCandidate] = []
+    for m in merged:
+        ap = np.concatenate(m[5])
+        bp = np.concatenate(m[6])
+        if len(ap) < min_seeds:
+            continue
+        o2 = np.argsort(ap, kind="stable")
+        ap, bp = ap[o2], bp[o2]
+        if ap[-1] - ap[0] < min_span:
+            continue
+        out.append(SeedCandidate(int(m[0]), complement, ap, bp))
+    return out
