@@ -143,6 +143,18 @@ class LocalAlignmentSet:
         b = int(self.b_begin[i]) + np.concatenate([[0], np.cumsum(b_adv)])
         return bounds, b
 
+    def check_invariants(self) -> None:
+        """Assert trace/coordinate consistency (reference ``invariant``
+        blocks, ``base.d:434-457``): interval count matches the 126-bp
+        boundary grid and b advances sum to the B span."""
+        for i in range(len(self)):
+            bounds = _trace_boundaries(int(self.a_begin[i]), int(self.a_end[i]))
+            td, tb = self.trace(i)
+            assert len(tb) == len(bounds) - 1, (i, len(tb), len(bounds))
+            assert tb.sum() == self.b_length(i), (i, tb.sum(), self.b_length(i))
+            assert td.sum() == self.diffs[i], (i, td.sum(), self.diffs[i])
+            assert (tb >= 0).all() and (td >= 0).all(), i
+
     def sort(self) -> "LocalAlignmentSet":
         """Canonical total order: (a_id, b_id, complement, a_begin, b_begin).
 

@@ -136,9 +136,9 @@ class Aligner:
             _CandState(cand.a_seq, b_id, cand.complement, a0, b0, cand.n_seeds)
         )
 
-        # forward job
+        # forward job (window capped at the largest bucket)
         a_rem, b_rem = a_len - a0, b_len - b0
-        r_f = int(min(a_rem, 1.5 * b_rem + W))
+        r_f = int(min(a_rem, 1.5 * b_rem + W, _BUCKETS[-1]))
         if r_f > 0:
             rows = np.arange(r_f + 1)
             centers = _interp_slope1(a0 + rows, ap_u, bp_u) - b0
@@ -146,7 +146,7 @@ class Aligner:
             self._enqueue(_Job(ci, +1, a_seq[a0 : a0 + r_f], b_codes, b0, b_rem,
                                centers.astype(np.int32), r_f))
         # backward job (mirrored coordinates)
-        r_b = int(min(a0, 1.5 * b0 + W))
+        r_b = int(min(a0, 1.5 * b0 + W, _BUCKETS[-1]))
         if r_b > 0:
             rows = np.arange(r_b + 1)
             centers = b0 - _interp_slope1(a0 - rows, ap_u, bp_u)

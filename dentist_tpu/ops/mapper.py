@@ -1,0 +1,94 @@
+"""Read-to-assembly mapper: the damapper replacement.
+
+damapper maps each read to the reference as *chains* of local alignments,
+reporting the best chain and all chains within a fraction of the best
+(SURVEY §2.3: "chains of LAs, best ±n%, -C symmetric output").  Here:
+
+1. the alignment engine (:mod:`.aligner`) produces flat LAs of each read
+   against the whole assembly (soft-masked seeding),
+2. the reference chaining algorithm (:mod:`.chain`) runs per
+   (contig, read) pair with no score filtering inside the pair
+   (min_relative_score=0), and
+3. per read, chains scoring ≥ ``best_frac`` × the read's best chain
+   survive (damapper's -n semantics); the rest are dropped.
+
+Survivors get ``chain_id`` assigned on the returned LocalAlignmentSet
+(the Dazzler chain flags equivalent) so downstream stages — coverage
+masking, pile-up collection — can pack chains without re-chaining.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models.alignments import LocalAlignmentSet
+from ..utils.log import log_json
+from .aligner import AlignerConfig, align_store_pair
+from .chain import Chain, ChainingOptions, chain_local_alignments
+
+__all__ = ["MapperConfig", "map_reads"]
+
+
+@dataclass
+class MapperConfig:
+    aligner: AlignerConfig = field(default_factory=AlignerConfig)
+    chaining: ChainingOptions = field(
+        default_factory=lambda: ChainingOptions(min_relative_score=0.0, min_score=0)
+    )
+    #: keep chains within this fraction of the read's best chain score
+    best_frac: float = 0.95
+
+
+def map_reads(
+    target_codes: np.ndarray,
+    target_offsets: np.ndarray,
+    target_lengths: np.ndarray,
+    reads: list[np.ndarray],
+    read_ids: list[int] | None = None,
+    config: MapperConfig | None = None,
+    mask_intervals: np.ndarray | None = None,
+) -> tuple[LocalAlignmentSet, list[Chain]]:
+    """Map reads against the assembly.  Returns (las, chains).
+
+    ``las`` contains only LAs belonging to surviving chains, sorted
+    canonically, with ``chain_id`` set; ``chains`` index into it.
+    """
+    cfg = config or MapperConfig()
+    las = align_store_pair(
+        target_codes, target_offsets, target_lengths, reads, read_ids,
+        config=cfg.aligner, mask_intervals=mask_intervals,
+    )
+    all_chains, las = chain_local_alignments(las, cfg.chaining)
+    if not all_chains:
+        return las.select(np.zeros(len(las), dtype=bool)), []
+
+    # per-read best-fraction selection (damapper -n)
+    best_by_read: dict[int, float] = {}
+    for ch in all_chains:
+        best_by_read[ch.b_id] = max(best_by_read.get(ch.b_id, 0), ch.score)
+    survivors = [
+        ch for ch in all_chains
+        if ch.score >= cfg.best_frac * best_by_read[ch.b_id]
+    ]
+
+    # rebuild LAS restricted to surviving chains, with chain ids
+    # (alternate chains may share prefix LAs — keep each LA once)
+    keep_idx = np.unique(np.concatenate([ch.indices for ch in survivors]))
+    new_pos = np.empty(len(las), dtype=np.int64)
+    new_pos[keep_idx] = np.arange(len(keep_idx))
+    sub = las.select(keep_idx)
+    chain_id = np.full(len(sub), -1, dtype=np.int64)
+    out_chains = []
+    for k, ch in enumerate(survivors):
+        idx_new = new_pos[ch.indices]
+        chain_id[idx_new] = k
+        out_chains.append(
+            Chain(indices=idx_new, a_id=ch.a_id, b_id=ch.b_id,
+                  complement=ch.complement, score=ch.score, alternate=ch.alternate)
+        )
+    sub.chain_id = chain_id
+    log_json("diagnostic", event="mapReads", nReads=len(reads),
+             nChains=len(out_chains), nAlignments=len(sub))
+    return sub, out_chains

@@ -80,6 +80,7 @@ def test_align_mutated_slice():
     assert abs(int(las.a_end[0]) - 6000) < 100
     err = las.error_rate(0)
     assert 0.05 < err < 0.25
+    las.check_invariants()
     td, tb = las.trace(0)
     assert tb.sum() == las.b_length(0)
     assert td.sum() == las.diffs[0]
