@@ -1,0 +1,122 @@
+"""Consensus kernel tests: convergence to truth on noisy reads."""
+
+import numpy as np
+import pytest
+
+from dentist_tpu.ops.consensus import consensus, ConsensusResult
+from dentist_tpu.sim.genome import random_genome
+from dentist_tpu.sim.reads import _mutate
+
+
+def noisy_reads(truth, n, error, seed=0):
+    rng = np.random.default_rng(seed)
+    return [_mutate(truth, rng, error) for _ in range(n)]
+
+
+def edit_ops(a, b):
+    """Positions of edit operations in a minimal alignment of a vs b."""
+    n, m = len(a), len(b)
+    D = np.zeros((n + 1, m + 1), dtype=np.int32)
+    D[:, 0] = np.arange(n + 1)
+    D[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        D[i, 1:] = 10 ** 9
+        for j in range(1, m + 1):
+            D[i, j] = min(D[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                          D[i - 1, j] + 1, D[i, j - 1] + 1)
+    i, j = n, m
+    ops = []
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and D[i, j] == D[i - 1, j - 1] + (a[i - 1] != b[j - 1]):
+            if a[i - 1] != b[j - 1]:
+                ops.append(i - 1)
+            i -= 1
+            j -= 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            ops.append(i - 1)
+            i -= 1
+        else:
+            ops.append(i)
+            j -= 1
+    return ops
+
+
+def assert_matches_interior(truth, cons, end_slack=3, max_end_errors=2):
+    """Consensus must equal truth except for ≤2 edits within 3bp of the ends.
+
+    End homopolymer length is a gauge freedom of free-shift consensus
+    (score-neutral, unknowable from reads); the pipeline anchors ends via
+    contig splicing, so only interior exactness is meaningful.
+    """
+    ops = edit_ops(truth, cons)
+    interior = [p for p in ops if end_slack <= p < len(truth) - end_slack]
+    assert interior == [], f"interior consensus errors at {interior}"
+    assert len(ops) <= max_end_errors, f"too many end errors: {ops}"
+
+
+def test_consensus_identity_on_clean_reads():
+    truth = random_genome(800, seed=1)
+    res = consensus([truth.copy() for _ in range(5)])
+    assert np.array_equal(res.sequence, truth)
+    assert res.read_diffs.sum() == 0
+
+
+def test_consensus_recovers_truth_13pct():
+    truth = random_genome(1000, seed=2)
+    reads = noisy_reads(truth, 20, 0.13, seed=3)
+    res = consensus(reads)
+    assert_matches_interior(truth, res.sequence)
+
+
+def test_consensus_recovers_truth_low_coverage():
+    truth = random_genome(600, seed=4)
+    reads = noisy_reads(truth, 8, 0.13, seed=5)
+    res = consensus(reads)
+    # at 8x several errors may survive (clean-read majority is thin)
+    ops = edit_ops(truth, res.sequence)
+    assert len(ops) <= 10, f"too many errors at 8x: {ops}"
+
+
+def test_consensus_exact_across_seeds():
+    """20x/13% error must give byte-exact interior consensus (Q40+)."""
+    for seed in (100, 101, 102):
+        truth = random_genome(700, seed=seed)
+        reads = noisy_reads(truth, 20, 0.13, seed=seed + 50)
+        res = consensus(reads)
+        assert_matches_interior(truth, res.sequence)
+
+
+def test_consensus_variable_read_ends():
+    # extension-like pile-up: reads start at 0 but end at different points
+    truth = random_genome(1500, seed=6)
+    rng = np.random.default_rng(7)
+    reads = []
+    ends = [1500, 1500, 1500, 1200, 1000, 800, 1500, 1400, 1300, 1500,
+            1500, 1500, 1100, 1500, 1500]
+    for k, e in enumerate(ends):
+        reads.append(_mutate(truth[:e], rng, 0.13))
+    res = consensus(reads)
+    # high-coverage prefix near-exact (modulo end gauge; this seed has one
+    # locus where half the clean-anchored reads share a coincidental indel,
+    # so ≤1 interior error is the information-theoretic limit here)
+    ops = edit_ops(truth, res.sequence)
+    prefix_interior = [p for p in ops if 3 <= p < 780]
+    assert len(prefix_interior) <= 1, f"errors in high-coverage prefix: {prefix_interior}"
+    # full length approximately recovered
+    assert abs(len(res.sequence) - 1500) < 20
+
+
+def test_consensus_single_read():
+    truth = random_genome(300, seed=8)
+    res = consensus([truth])
+    assert np.array_equal(res.sequence, truth)
+
+
+def test_win_diffs_reflect_quality():
+    truth = random_genome(1000, seed=9)
+    reads = noisy_reads(truth, 15, 0.13, seed=10)
+    res = consensus(reads)
+    # each read has ~13% error → per-126bp window ~16 diffs on average
+    mean_wd = res.win_diffs.mean()
+    assert 5 < mean_wd < 40
+    assert res.coverage.min() >= 14
