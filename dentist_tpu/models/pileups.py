@@ -293,8 +293,16 @@ class ReadAlignmentRep:
         return (c0.a_id, part(self.parts[0])), (c1.a_id, part(self.parts[1]))
 
 
-def collect_read_alignments(ctx: ChainCtx, chain_idxs: list[int]) -> list[ReadAlignmentRep]:
-    """``collectReadAlignments`` (``pileups.d:821-888``) for one read."""
+def collect_read_alignments(ctx: ChainCtx, chain_idxs: list[int],
+                            start_allowance: int = TRACE_SPACING) -> list[ReadAlignmentRep]:
+    """``collectReadAlignments`` (``pileups.d:821-888``) for one read.
+
+    `start_allowance`: the reference tests ``beginRelToContigB > 0``
+    strictly (daligner alignments of reads starting inside a contig reach
+    read base 0 exactly); our aligner may trim a few bases at the read
+    start, so an unaligned prefix up to one trace interval does not count
+    as an extension.
+    """
     seeded: list[tuple[int, int, int, SeededChain]] = []  # (b_fwd_begin, b_fwd_end, seed_rel, sc)
     for k in chain_idxs:
         ch = ctx.chains[k]
@@ -312,7 +320,7 @@ def collect_read_alignments(ctx: ChainCtx, chain_idxs: list[int]) -> list[ReadAl
         if e1 > b2 and s1.chain_idx != s2.chain_idx:
             return []
 
-    start_with_extension = seeded[0][0] > 0
+    start_with_extension = seeded[0][0] > start_allowance
     slice_start = 1 if start_with_extension else 0
     reps: list[ReadAlignmentRep] = []
     if start_with_extension:

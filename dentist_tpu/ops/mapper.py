@@ -64,14 +64,40 @@ def map_reads(
     if not all_chains:
         return las.select(np.zeros(len(las), dtype=bool)), []
 
-    # per-read best-fraction selection (damapper -n)
-    best_by_read: dict[int, float] = {}
+    # best-fraction selection per (read, read-region) group: damapper's -n
+    # competes chains claiming the SAME part of a read (repeat-induced
+    # alternatives), not disjoint parts — a gap-spanning read legitimately
+    # has one chain per flank contig with very different scores.
+    read_len = {rid: len(r) for rid, r in zip(read_ids or range(1, len(reads) + 1), reads)}
+
+    def b_fwd(ch: Chain):
+        f, l = ch.indices[0], ch.indices[-1]
+        bb, be = int(las.b_begin[f]), int(las.b_end[l])
+        if ch.complement:
+            L = read_len[ch.b_id]
+            return L - be, L - bb
+        return bb, be
+
+    by_read: dict[int, list[Chain]] = {}
     for ch in all_chains:
-        best_by_read[ch.b_id] = max(best_by_read.get(ch.b_id, 0), ch.score)
-    survivors = [
-        ch for ch in all_chains
-        if ch.score >= cfg.best_frac * best_by_read[ch.b_id]
-    ]
+        by_read.setdefault(ch.b_id, []).append(ch)
+    survivors = []
+    for rid, chs in by_read.items():
+        chs.sort(key=lambda c: b_fwd(c)[0])
+        group: list[Chain] = []
+        group_end = -1
+        for ch in chs + [None]:
+            if ch is not None:
+                b, e = b_fwd(ch)
+                if not group or b < group_end:
+                    group.append(ch)
+                    group_end = max(group_end, e)
+                    continue
+            best = max(c.score for c in group)
+            survivors.extend(c for c in group if c.score >= cfg.best_frac * best)
+            if ch is not None:
+                group = [ch]
+                group_end = b_fwd(ch)[1]
 
     # rebuild LAS restricted to surviving chains, with chain ids
     # (alternate chains may share prefix LAs — keep each LA once)
