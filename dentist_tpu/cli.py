@@ -1,0 +1,668 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (``source/dentist/commandline.d``): one
+executable with sub-commands named after the reference's
+(``source/dentist/common/commands.d:20-42``), unambiguous-prefix matching
+(``commandline.d:500-514``: ``mask`` → ``mask-repetitive-regions``,
+``collect``, ``process``), ``--config`` YAML/JSON support with
+``__default__`` sections, and structured JSON logging on stderr.
+
+Where the reference orchestrates external Dazzler tools, the
+corresponding compute is in-process: ``align``/``map``/``tandem``/``dust``
+replace daligner/damapper/datander/DBdust as explicit stages, and
+``pipeline`` replaces the whole Snakemake workflow with one command.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from . import __version__
+from .config import load_config, apply_config, validate_config
+from .utils.log import log_json, set_log_level
+
+COMMANDS: dict[str, callable] = {}
+
+
+def command(name):
+    def register(fn):
+        COMMANDS[name] = fn
+        return fn
+    return register
+
+
+ALIASES = {
+    "mask": "mask-repetitive-regions",  # reference short name; `mask2bed`
+    "generate": "generate-config",      # would otherwise make it ambiguous
+}
+
+
+def resolve_command(name: str) -> str:
+    """Unambiguous-prefix command matching (``commandline.d:500-514``)."""
+    if name in COMMANDS:
+        return name
+    if name in ALIASES and ALIASES[name] in COMMANDS:
+        return ALIASES[name]
+    matches = [c for c in COMMANDS if c.startswith(name)]
+    if len(matches) == 1:
+        return matches[0]
+    if not matches:
+        raise SystemExit(f"unknown command: {name!r} (see --commands)")
+    raise SystemExit(f"ambiguous command {name!r}: matches {', '.join(sorted(matches))}")
+
+
+def _load_assembly(path):
+    from .models.sequences import load_assembly
+
+    return load_assembly(path)
+
+
+def _load_reads(path):
+    from .models.sequences import load_reads
+
+    return load_reads(path)
+
+
+def _read_masks(paths):
+    from .io.store import load_mask
+    from .utils.regions import Region
+
+    region = Region()
+    for p in paths or []:
+        region = region | load_mask(p)
+    return region
+
+
+# ----------------------------------------------------------------------
+# masking stages
+
+
+@command("dust")
+def cmd_dust(args):
+    """Low-complexity mask (DBdust replacement)."""
+    from .io.store import save_mask
+    from .models.mask import dust_mask
+
+    store, _ = _load_assembly(args.sequences)
+    mask = dust_mask(store.codes, store.offsets, store.lengths)
+    save_mask(args.out_mask, mask)
+    log_json("info", event="dust", intervals=len(mask), maskedBp=mask.size)
+
+
+@command("tandem")
+def cmd_tandem(args):
+    """Tandem-repeat mask (datander + TANmask replacement)."""
+    from .io.store import save_mask
+    from .models.mask import tandem_mask
+
+    store, _ = _load_assembly(args.sequences)
+    mask = tandem_mask(store.codes, store.offsets, store.lengths)
+    save_mask(args.out_mask, mask)
+    log_json("info", event="tandem", intervals=len(mask), maskedBp=mask.size)
+
+
+@command("align")
+def cmd_align(args):
+    """Assembly self-alignment (daligner replacement)."""
+    from .io.store import save_alignments
+    from .ops.aligner import AlignerConfig, align_store_pair
+
+    store, _ = _load_assembly(args.assembly)
+    masks = _read_masks(args.mask)
+    las = align_store_pair(
+        store.codes, store.offsets, store.lengths,
+        [store.get(i + 1) for i in range(len(store))],
+        config=AlignerConfig(max_error=args.max_alignment_error + 0.02,
+                             min_length=args.min_anchor_length),
+        mask_intervals=masks.iv if len(masks) else None,
+        self_alignment=True,
+    )
+    save_alignments(args.out_alignments, las)
+
+
+@command("map")
+def cmd_map(args):
+    """Read-to-assembly mapping (damapper replacement)."""
+    from .io.store import save_alignments
+    from .ops.mapper import MapperConfig, map_reads
+
+    store, _ = _load_assembly(args.assembly)
+    reads = _load_reads(args.reads)
+    masks = _read_masks(args.mask)
+    las, chains = map_reads(
+        store.codes, store.offsets, store.lengths,
+        [reads.get(i + 1) for i in range(len(reads))],
+        config=MapperConfig(),
+        mask_intervals=masks.iv if len(masks) else None,
+    )
+    save_alignments(args.out_alignments, las, chains)
+
+
+@command("mask-repetitive-regions")
+def cmd_mask(args):
+    """Coverage-based repeat mask (``maskRepetitiveRegions.d``)."""
+    from .io.store import load_alignments, save_mask
+    from .models.mask import (
+        coverage_mask, pack_chain_intervals,
+        repeat_coverage_bounds_improper, repeat_coverage_bounds_reads,
+    )
+
+    store, _ = _load_assembly(args.assembly)
+    las, chains = load_alignments(args.alignments)
+    intervals = pack_chain_intervals(las)
+    if args.reads_db:  # reads alignment
+        if args.max_coverage_reads is not None and args.read_coverage is not None:
+            raise SystemExit("must not provide both --read-coverage and --max-coverage-reads")
+        if args.max_coverage_reads is not None:
+            hi = args.max_coverage_reads
+        elif args.read_coverage is not None:
+            _, hi = repeat_coverage_bounds_reads(args.read_coverage)
+        else:
+            raise SystemExit("must provide either --read-coverage or --max-coverage-reads")
+        mask = coverage_mask(intervals, store.lengths, 0, hi)
+        if args.read_coverage is not None:
+            _, hi_imp = repeat_coverage_bounds_improper(args.read_coverage)
+            improper = _improper_intervals(las, chains, store.lengths)
+            mask = mask | coverage_mask(improper, store.lengths, 0, hi_imp)
+    else:  # self alignment
+        mask = coverage_mask(intervals, store.lengths, 0, args.max_coverage_self)
+    save_mask(args.out_mask, mask)
+    log_json("info", event="mask", intervals=len(mask), maskedBp=mask.size)
+
+
+def _improper_intervals(las, chains, contig_lengths):
+    """A-intervals of improper chains (``maskRepetitiveRegions.d:183``)."""
+    from .models.alignments import TRACE_SPACING
+
+    out = []
+    for ch in chains or []:
+        ab, ae, bb, be = ch.first_last(las)
+        a_len = int(contig_lengths[ch.a_id - 1])
+        # b length unknown here: use conservative end test on A side only
+        proper = ab <= TRACE_SPACING or ae >= a_len - TRACE_SPACING
+        if not proper:
+            out.append((ch.a_id, ab, ae))
+    return np.array(out, dtype=np.int64).reshape(-1, 3)
+
+
+@command("propagate-mask")
+def cmd_propagate_mask(args):
+    from .io.store import load_alignments, load_mask, save_mask
+    from .models.mask import propagate_mask
+
+    mask = load_mask(args.mask)
+    las, _ = load_alignments(args.alignments)
+    reads = _load_reads(args.reads)
+    out = propagate_mask(mask, las, reads.lengths)
+    save_mask(args.out_mask, out)
+
+
+@command("merge-masks")
+def cmd_merge_masks(args):
+    from .io.store import load_mask, save_mask
+
+    merged = _read_masks(args.masks)
+    save_mask(args.out_mask, merged)
+
+
+@command("filter-mask")
+def cmd_filter_mask(args):
+    from .io.store import load_mask, save_mask
+
+    mask = load_mask(args.mask)
+    if args.min_gap_size:
+        mask = mask.close_gaps(args.min_gap_size)
+    if args.min_interval_size:
+        mask = mask.filter_min_size(args.min_interval_size)
+    save_mask(args.out_mask, mask)
+
+
+@command("show-mask")
+def cmd_show_mask(args):
+    from .io.store import load_mask
+
+    mask = load_mask(args.mask)
+    if args.json:
+        print(json.dumps({
+            "numIntervals": len(mask),
+            "maskedBp": mask.size,
+            "intervals": mask.iv.tolist(),
+        }))
+    else:
+        print(f"intervals: {len(mask)}  masked bp: {mask.size}")
+        for tag, b, e in mask.iv:
+            print(f"  contig {tag}: {b}..{e}")
+
+
+@command("bed2mask")
+def cmd_bed2mask(args):
+    from .io.store import save_mask
+    from .utils.regions import Region
+
+    store, structure = _load_assembly(args.assembly)
+    name_to_sid = {h.split()[0]: i for i, h in enumerate(structure.headers)}
+    triples = []
+    with open(args.bed) as fh:
+        for line in fh:
+            if not line.strip() or line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            name, b, e = fields[0], int(fields[1]), int(fields[2])
+            name = name.split("\t")[0]
+            sid = name_to_sid.get(name)
+            if sid is None:
+                continue
+            # scaffold coords → contig coords
+            for c in structure.contigs:
+                if c.scaffold_id == sid and c.begin < e and b < c.end:
+                    triples.append((c.global_contig_id,
+                                    max(0, b - c.begin),
+                                    min(c.length, e - c.begin)))
+    save_mask(args.out_mask, Region.from_triples(triples))
+
+
+@command("mask2bed")
+def cmd_mask2bed(args):
+    from .io.store import load_mask
+
+    store, structure = _load_assembly(args.assembly)
+    mask = load_mask(args.mask)
+    contig_by_id = {c.global_contig_id: c for c in structure.contigs}
+    with open(args.out_bed, "w") as fh:
+        for tag, b, e in mask.iv:
+            c = contig_by_id.get(int(tag))
+            if c is None:
+                continue
+            name = structure.headers[c.scaffold_id].split()[0]
+            fh.write(f"{name}\t{c.begin + b}\t{c.begin + e}\n")
+
+
+# ----------------------------------------------------------------------
+# core pipeline commands
+
+
+@command("chain-local-alignments")
+def cmd_chain(args):
+    from .io.store import load_alignments, save_alignments
+    from .ops.chain import ChainingOptions, chain_local_alignments
+
+    las, _ = load_alignments(args.alignments)
+    chains, las = chain_local_alignments(las, ChainingOptions())
+    save_alignments(args.out_alignments, las, chains)
+    log_json("info", event="chain", numChains=len(chains))
+
+
+@command("collect-pile-ups")
+def cmd_collect(args):
+    from .io.store import load_alignments, save_pile_ups
+    from .models.pileups import ChainCtx, CollectConfig, collect_pile_ups
+
+    store, structure = _load_assembly(args.assembly)
+    reads = _load_reads(args.reads)
+    las, chains = load_alignments(args.alignments)
+    if chains is None:
+        raise SystemExit("collect requires chained alignments (run `map` first)")
+    repeats = _read_masks(args.mask)
+    ctx = ChainCtx(las, chains, store.lengths, reads.lengths)
+    cfg = CollectConfig(
+        min_anchor_length=args.min_anchor_length,
+        best_pileup_margin=args.best_pile_up_margin,
+        existing_gap_bonus=args.existing_gap_bonus,
+        min_spanning_reads=args.min_spanning_reads,
+    )
+    pile_ups = collect_pile_ups(ctx, structure.gaps, repeats, cfg)
+    save_pile_ups(args.out_pile_ups, pile_ups)
+
+
+@command("show-pile-ups")
+def cmd_show_pile_ups(args):
+    from .io.store import load_pile_ups
+
+    pile_ups = load_pile_ups(args.pile_ups)
+    info = {
+        "numPileUps": len(pile_ups),
+        "numReadAlignments": sum(len(p) for p in pile_ups),
+    }
+    print(json.dumps(info) if args.json else
+          f"pile ups: {info['numPileUps']}  read alignments: {info['numReadAlignments']}")
+
+
+@command("process-pile-ups")
+def cmd_process(args):
+    from .io.store import load_alignments, load_pile_ups, save_insertions
+    from .models.pileups import ChainCtx
+    from .models.process import ProcessConfig, process_pile_ups
+
+    store, structure = _load_assembly(args.assembly)
+    reads = _load_reads(args.reads)
+    las, chains = load_alignments(args.alignments)
+    pile_ups = load_pile_ups(args.pile_ups)
+    repeats = _read_masks(args.mask)
+    ctx = ChainCtx(las, chains, store.lengths, reads.lengths)
+    batch = None
+    if args.batch:
+        lo, hi = args.batch.split("..")
+        batch = (int(lo), int(hi))
+    cfg = ProcessConfig(allow_single_reads=args.allow_single_reads)
+    insertions = process_pile_ups(pile_ups, ctx, store, reads, repeats, cfg, batch=batch)
+    save_insertions(args.out_insertions, insertions)
+
+
+@command("show-insertions")
+def cmd_show_insertions(args):
+    from .io.store import load_insertions
+
+    ins = load_insertions(args.insertions)
+    info = {
+        "numInsertions": len(ins),
+        "numGapClosings": sum(1 for i in ins if i.is_gap),
+        "numExtensions": sum(1 for i in ins if i.is_extension),
+        "totalInsertedBp": int(sum(len(i.sequence) for i in ins)),
+    }
+    print(json.dumps(info) if args.json else json.dumps(info, indent=2))
+
+
+@command("merge-insertions")
+def cmd_merge_insertions(args):
+    from .io.store import load_insertions, save_insertions
+
+    merged = []
+    for p in args.partial_insertions:
+        merged.extend(load_insertions(p))
+    merged.sort(key=lambda i: (i.start_node, i.end_node))
+    save_insertions(args.out_insertions, merged)
+    log_json("info", event="mergeInsertions", numInsertions=len(merged))
+
+
+@command("output")
+def cmd_output(args):
+    from .io.store import load_insertions
+    from .models.output import OutputConfig, build_output, write_output
+
+    store, structure = _load_assembly(args.assembly)
+    insertions = load_insertions(args.insertions)
+    skip = set()
+    if args.skip_gaps_file:
+        with open(args.skip_gaps_file) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a, b = line.split("-")
+                    skip.add(tuple(sorted((int(a), int(b)))))
+    for pair in args.skip_gaps or []:
+        a, b = pair.split("-")
+        skip.add(tuple(sorted((int(a), int(b)))))
+    cfg = OutputConfig(
+        join_policy=args.join_policy,
+        min_extension_length=args.min_extension_length,
+        max_insertion_error=args.max_insertion_error,
+        no_highlight_insertions=args.no_highlight_insertions,
+        only=args.only,
+        skip_gaps=skip,
+    )
+    result = build_output(store, structure, insertions, cfg)
+    write_output(result, args.out_assembly, agp_path=args.agp,
+                 bed_path=args.closed_gaps_bed, line_width=args.fasta_line_width)
+    # persist the coordinate maps for translate-coords
+    if args.scaffolding:
+        with open(args.scaffolding, "w") as fh:
+            json.dump({k: [list(s) for s in v] for k, v in result.segment_maps.items()}, fh)
+
+
+@command("translate-coords")
+def cmd_translate_coords(args):
+    with open(args.scaffolding) as fh:
+        maps = json.load(fh)
+    from .models.output import OutputResult
+
+    result = OutputResult([], [], [], segment_maps={
+        k: [tuple(s) for s in v] for k, v in maps.items()
+    })
+    for coord in args.coords:
+        scaffold, pos = coord.rsplit("/", 1)
+        kind, cid, c = result.translate_coord(scaffold, int(pos))
+        print(json.dumps({"input": coord, "kind": kind, "contigId": cid, "coord": c}))
+
+
+@command("validate-regions")
+def cmd_validate_regions(args):
+    from .io.store import load_alignments, load_mask, save_mask
+    from .models.validate import ValidateConfig, validate_regions
+    from .models.mask import validation_min_coverage
+
+    store, _ = _load_assembly(args.assembly)
+    reads = _load_reads(args.reads)
+    las, chains = load_alignments(args.alignments)
+    regions = load_mask(args.regions)
+    min_cov = args.min_coverage_reads
+    if min_cov is None:
+        if args.read_coverage is None:
+            raise SystemExit("must provide --read-coverage or --min-coverage-reads")
+        min_cov = validation_min_coverage(args.read_coverage, args.ploidy)
+    cfg = ValidateConfig(min_coverage_reads=min_cov,
+                         min_spanning_reads=args.min_spanning_reads)
+    reports, weak = validate_regions(las, chains or [], regions, store.lengths,
+                                     reads.lengths, cfg)
+    for r in reports:
+        print(json.dumps(r.to_json()))
+    if args.weak_coverage_mask:
+        save_mask(args.weak_coverage_mask, weak)
+
+
+@command("validate-config")
+def cmd_validate_config(args):
+    cfg = load_config(args.config_file)
+    errors = validate_config(cfg, list(COMMANDS))
+    for e in errors:
+        print(e, file=sys.stderr)
+    if errors:
+        raise SystemExit(1)
+    print("config is valid")
+
+
+# ----------------------------------------------------------------------
+# testing / simulation commands
+
+
+@command("simulate-reads")
+def cmd_simulate(args):
+    from .io.fasta import codes_to_seq, read_fasta, write_fasta
+    from .sim.reads import simulate_reads
+
+    records = read_fasta(args.genome)
+    reads, truths = simulate_reads(
+        [r.codes for r in records], coverage=args.coverage,
+        mean_length=args.mean_length, sd_length=args.sd_length,
+        error=args.error, seed=args.seed,
+    )
+    write_fasta(args.out_reads,
+                ((t.header(), codes_to_seq(r)) for r, t in zip(reads, truths)))
+    log_json("info", event="simulateReads", numReads=len(reads),
+             totalBp=int(sum(len(r) for r in reads)))
+
+
+@command("build-partial-assembly")
+def cmd_build_partial(args):
+    from .io.fasta import codes_to_seq, read_fasta, write_fasta
+    from .sim.partial import build_partial_assembly, random_gaps
+
+    records = read_fasta(args.true_assembly)
+    seqs = [r.codes for r in records]
+    gaps = random_gaps(seqs, n_gaps=args.num_gaps, min_size=args.min_gap_size,
+                       max_size=args.max_gap_size, seed=args.seed)
+    out = build_partial_assembly(seqs, gaps)
+    write_fasta(args.out_assembly,
+                ((r.header, codes_to_seq(s)) for r, s in zip(records, out)))
+    log_json("info", event="buildPartialAssembly", numGaps=len(gaps))
+
+
+@command("find-closable-gaps")
+def cmd_find_closable(args):
+    from .eval.closable import find_closable_gaps
+    from .io.fasta import read_fasta
+
+    store, structure = _load_assembly(args.assembly)
+    reads = read_fasta(args.reads)
+    closable = find_closable_gaps(structure, reads,
+                                  min_spanning_reads=args.min_spanning_reads)
+    for g in closable:
+        print(json.dumps(g))
+
+
+@command("check-results")
+def cmd_check_results(args):
+    from .eval.check_results import check_results
+    from .io.fasta import read_fasta
+
+    true_records = [r.codes for r in read_fasta(args.true_assembly)]
+    store, structure = _load_assembly(args.test_assembly)
+    result_records = [r.codes for r in read_fasta(args.result_assembly)]
+    stats = check_results(true_records, structure, store, result_records)
+    print(json.dumps(stats.to_json(), indent=None if args.json else 2))
+
+
+# ----------------------------------------------------------------------
+# the end-to-end pipeline (Snakemake replacement)
+
+
+@command("pipeline")
+def cmd_pipeline(args):
+    from .pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(
+        read_coverage=args.read_coverage,
+        max_coverage_self=args.max_coverage_self,
+        min_spanning_reads=args.min_spanning_reads,
+        join_policy=args.join_policy,
+        no_validation=args.no_validation,
+        workdir=args.workdir,
+    )
+    run_pipeline(args.assembly, args.reads, args.out_assembly, cfg)
+
+
+# ----------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dentist-tpu",
+        description="TPU-native genome assembly gap closer (capabilities of DENTIST)",
+    )
+    p.add_argument("--version", action="version", version=__version__)
+    p.add_argument("--commands", action="store_true", help="list sub-commands")
+    sub = p.add_subparsers(dest="command")
+
+    def add(name, *specs, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("--config", help="YAML/JSON config file")
+        sp.add_argument("-v", "--verbose", action="count", default=0)
+        sp.add_argument("-q", "--quiet", action="store_true")
+        for spec in specs:
+            flags, skw = spec
+            sp.add_argument(*flags, **skw)
+        return sp
+
+    A = lambda *flags, **kw: (flags, kw)
+
+    add("dust", A("sequences"), A("out_mask"))
+    add("tandem", A("sequences"), A("out_mask"))
+    add("align", A("assembly"), A("out_alignments"),
+        A("--mask", nargs="*"), A("--max-alignment-error", type=float, default=0.3),
+        A("--min-anchor-length", type=int, default=500))
+    add("map", A("assembly"), A("reads"), A("out_alignments"), A("--mask", nargs="*"))
+    add("mask-repetitive-regions", A("assembly"), A("alignments"), A("out_mask"),
+        A("--reads-db"), A("--read-coverage", type=float),
+        A("--max-coverage-reads", type=int), A("--max-coverage-self", type=int, default=4))
+    add("propagate-mask", A("mask"), A("alignments"), A("reads"), A("out_mask"))
+    add("merge-masks", A("out_mask"), A("masks", nargs="+"))
+    add("filter-mask", A("mask"), A("out_mask"),
+        A("--min-interval-size", type=int, default=0),
+        A("--min-gap-size", type=int, default=0))
+    add("show-mask", A("mask"), A("--json", "-j", action="store_true"))
+    add("bed2mask", A("assembly"), A("bed"), A("out_mask"),
+        A("--data-comments", action="store_true"))
+    add("mask2bed", A("assembly"), A("mask"), A("out_bed"))
+    add("chain-local-alignments", A("alignments"), A("out_alignments"))
+    add("collect-pile-ups", A("assembly"), A("reads"), A("alignments"), A("out_pile_ups"),
+        A("--mask", nargs="*"), A("--min-anchor-length", type=int, default=500),
+        A("--best-pile-up-margin", type=float, default=3.0),
+        A("--existing-gap-bonus", type=float, default=6.0),
+        A("--min-spanning-reads", type=int, default=3))
+    add("show-pile-ups", A("pile_ups"), A("--json", "-j", action="store_true"))
+    add("process-pile-ups", A("assembly"), A("reads"), A("alignments"),
+        A("pile_ups"), A("out_insertions"), A("--mask", nargs="*"),
+        A("--batch", help="from..to slice of pile ups"),
+        A("--allow-single-reads", action="store_true"))
+    add("show-insertions", A("insertions"), A("--json", "-j", action="store_true"))
+    add("merge-insertions", A("out_insertions"), A("partial_insertions", nargs="+"))
+    add("output", A("assembly"), A("insertions"), A("out_assembly"),
+        A("--agp"), A("--closed-gaps-bed"), A("--scaffolding"),
+        A("--join-policy", default="scaffoldGaps",
+          choices=["scaffoldGaps", "scaffolds", "contigs"]),
+        A("--min-extension-length", type=int, default=100),
+        A("--max-insertion-error", type=float, default=0.1),
+        A("--fasta-line-width", type=int, default=50),
+        A("--no-highlight-insertions", "-H", action="store_true"),
+        A("--only", choices=["gaps", "extensions"]),
+        A("--skip-gaps", nargs="*"), A("--skip-gaps-file"))
+    add("translate-coords", A("scaffolding"), A("coords", nargs="+"),
+        A("--json", "-j", action="store_true"))
+    add("validate-regions", A("assembly"), A("reads"), A("alignments"), A("regions"),
+        A("--read-coverage", type=float), A("--ploidy", type=int, default=1),
+        A("--min-coverage-reads", type=int), A("--min-spanning-reads", type=int, default=3),
+        A("--weak-coverage-mask"))
+    add("validate-config", A("config_file"))
+    add("simulate-reads", A("genome"), A("out_reads"),
+        A("--coverage", type=float, default=20.0),
+        A("--mean-length", type=int, default=25000),
+        A("--sd-length", type=int, default=12500),
+        A("--error", type=float, default=0.13),
+        A("--seed", type=int, default=19339))
+    add("build-partial-assembly", A("true_assembly"), A("out_assembly"),
+        A("--num-gaps", type=int, default=3),
+        A("--min-gap-size", type=int, default=50),
+        A("--max-gap-size", type=int, default=500),
+        A("--seed", type=int, default=7))
+    add("find-closable-gaps", A("assembly"), A("reads"),
+        A("--min-spanning-reads", type=int, default=3))
+    add("check-results", A("true_assembly"), A("test_assembly"), A("result_assembly"),
+        A("--json", "-j", action="store_true"))
+    add("pipeline", A("assembly"), A("reads"), A("out_assembly"),
+        A("--read-coverage", type=float, default=None),
+        A("--max-coverage-self", type=int, default=4),
+        A("--min-spanning-reads", type=int, default=3),
+        A("--join-policy", default="scaffoldGaps",
+          choices=["scaffoldGaps", "scaffolds", "contigs"]),
+        A("--no-validation", action="store_true"),
+        A("--workdir", default=None))
+    return p
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and not argv[0].startswith("-"):
+        argv[0] = resolve_command(argv[0])
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.commands or not args.command:
+        for name in sorted(COMMANDS):
+            print(name)
+        return 0
+    if getattr(args, "quiet", False):
+        set_log_level("error")
+    elif getattr(args, "verbose", 0) >= 2:
+        set_log_level("debug")
+    elif getattr(args, "verbose", 0) == 1:
+        set_log_level("diagnostic")
+    if getattr(args, "config", None):
+        explicit = {a.split("=")[0].lstrip("-").replace("-", "_") for a in argv}
+        apply_config(args, load_config(args.config), args.command, explicit)
+    return COMMANDS[args.command](args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,10 +41,12 @@ __all__ = [
     "tandem_mask",
     "coverage_mask",
     "chain_intervals",
+    "pack_chain_intervals",
     "repeat_coverage_bounds_reads",
     "repeat_coverage_bounds_improper",
     "validation_min_coverage",
     "propagate_mask",
+    "propagate_mask_b_to_a",
 ]
 
 
@@ -274,6 +276,51 @@ def propagate_mask(
                 pb, pe = b_len - pe, b_len - pb
             if pe > pb:
                 triples.append((int(las.b_id[i]), pb, pe))
+    if not triples:
+        return Region()
+    return Region.from_triples(triples)
+
+
+def propagate_mask_b_to_a(
+    mask: Region,
+    las: LocalAlignmentSet,
+    a_lengths: np.ndarray,
+    b_lengths: np.ndarray | None = None,
+) -> Region:
+    """Transfer mask intervals from the B (read) side back to the A side.
+
+    The reads→assembly leg of mask homogenization
+    (``Snakefile:1218-1287``: propagate to reads, then back, then merge).
+    Mask tags are b_ids with forward-strand coordinates; the result is
+    tagged by a_ids.  Translation inverts the trace-point mapping: the B
+    coordinate is located among the cumulative B positions at trace
+    boundaries, yielding A boundary coordinates (floor/ceil).
+    """
+    if mask.empty or len(las) == 0:
+        return Region()
+    triples = []
+    for i in range(len(las)):
+        b_id = int(las.b_id[i])
+        spans = mask.for_tag(b_id)
+        if len(spans) == 0:
+            continue
+        bounds, b_at = las.boundaries_and_b(i)
+        b_beg, b_end = int(las.b_begin[i]), int(las.b_end[i])
+        comp = bool(las.complement[i])
+        L = int(b_lengths[b_id - 1]) if b_lengths is not None else b_end
+        for mb_f, me_f in spans:
+            if comp:
+                mb, me = L - int(me_f), L - int(mb_f)
+            else:
+                mb, me = int(mb_f), int(me_f)
+            mb_c, me_c = max(mb, b_beg), min(me, b_end)
+            if me_c <= mb_c:
+                continue
+            kb = max(int(np.searchsorted(b_at, mb_c, side="right")) - 1, 0)
+            ke = min(int(np.searchsorted(b_at, me_c, side="left")), len(bounds) - 1)
+            ab, ae = int(bounds[kb]), int(bounds[ke])
+            if ae > ab:
+                triples.append((int(las.a_id[i]), ab, ae))
     if not triples:
         return Region()
     return Region.from_triples(triples)

@@ -64,6 +64,28 @@ class OutputResult:
     bed_rows: list[str]
     n_closed_gaps: int = 0
     n_extensions: int = 0
+    #: per output scaffold: list of (out_begin, out_end, kind, contig_id,
+    #: contig_begin, forward) — the coordinate map for translate-coords
+    segment_maps: dict[str, list[tuple]] = field(default_factory=dict)
+
+    def translate_coord(self, scaffold: str, position: int):
+        """Output coordinate → input-assembly location.
+
+        Returns ``("contig", contig_id, contig_coord)`` for positions in
+        existing contigs, ``("insertion"|"gap", None, offset)`` otherwise.
+        Mirrors ``translate-coords`` (``commands/translateCoords.d``).
+        """
+        segs = self.segment_maps.get(scaffold)
+        if segs is None:
+            raise KeyError(f"unknown output scaffold {scaffold!r}")
+        for ob, oe, kind, cid, cbeg, fwd in segs:
+            if ob <= position < oe:
+                if kind == "contig":
+                    off = position - ob
+                    coord = cbeg + off if fwd else cbeg + (oe - ob) - 1 - off
+                    return ("contig", cid, coord)
+                return (kind, None, position - ob)
+        raise ValueError(f"position {position} outside scaffold {scaffold!r}")
 
 
 def build_output(
@@ -196,9 +218,12 @@ def _walk_and_emit(
     n_closed = 0
     n_ext = 0
 
+    segment_maps: dict[str, list[tuple]] = {}
     for start in graph.scaffold_starts():
         parts: list[tuple[str, str]] = []  # (kind, sequence-string)
         agp_parts: list[tuple] = []
+        segs: list[tuple] = []
+        pos_acc = 0
         node = start
         first_contig = start[0]
         for join in graph.linear_walk(start):
@@ -208,9 +233,11 @@ def _walk_and_emit(
                 forward = node[1] == ContigPart.BEGIN
                 s = codes_to_seq(seq if forward else _rc(seq))
                 parts.append(("contig", s))
+                segs.append((pos_acc, pos_acc + len(s), "contig", p.contig_id, 0, forward))
                 agp_parts.append(("W", p.contig_id, len(seq), "+" if forward else "-"))
             elif p.kind == "unknown":
                 parts.append(("gap", "n" * p.gap_length))
+                segs.append((pos_acc, pos_acc + p.gap_length, "gap", 0, 0, True))
                 agp_parts.append(("N", p.gap_length))
             else:  # insertion
                 ins = p.insertion
@@ -218,12 +245,14 @@ def _walk_and_emit(
                 upper = not cfg.no_highlight_insertions
                 s = codes_to_seq(seq, upper=upper)
                 parts.append(("insertion", s))
+                segs.append((pos_acc, pos_acc + len(s), "insertion", 0, 0, True))
                 agp_parts.append(("I", len(seq)))
                 if ins.is_gap:
                     n_closed += 1
-                    bed_rows.append((node, ins, len("".join(x[1] for x in parts)) - len(s), len(s)))
+                    bed_rows.append((node, ins, pos_acc, len(s)))
                 else:
                     n_ext += 1
+            pos_acc += len(parts[-1][1])
             node = join.other(node)
 
         if not parts:
@@ -236,6 +265,7 @@ def _walk_and_emit(
         header = f"{uniq}\tscaffold-{first_contig}"
         seq_str = "".join(x[1] for x in parts)
         records.append((header, seq_str))
+        segment_maps[uniq] = segs
         # AGP rows
         pos = 1
         part_number = 0
@@ -275,7 +305,7 @@ def _walk_and_emit(
 
     log_json("info", event="output", numScaffolds=len(records),
              numClosedGaps=n_closed, numExtensions=n_ext)
-    return OutputResult(records, agp_rows, bed_rows, n_closed, n_ext)
+    return OutputResult(records, agp_rows, bed_rows, n_closed, n_ext, segment_maps)
 
 
 def _rc(codes: np.ndarray) -> np.ndarray:

@@ -1,0 +1,118 @@
+"""Region validation: check closed gaps against a reads re-mapping.
+
+Re-expression of ``dentist validate-regions``
+(``source/dentist/commands/validateRegions.d:1-37``): after re-mapping the
+reads to the preliminary (gap-closed) assembly, a closed gap is valid iff
+
+(a) every ``weak_coverage_window`` (500 bp) sliding window of the region
+    (± one window of context) is covered by ≥ ``min_coverage_reads``
+    local alignments, and
+(b) the region is spanned end-to-end by ≥ ``min_spanning_reads`` (3)
+    proper read chains.
+
+Emits one JSON-able report per region plus the weak-coverage mask
+(windows below the coverage floor).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.chain import Chain
+from ..utils.log import log_json
+from ..utils.regions import Region
+from .alignments import TRACE_SPACING, LocalAlignmentSet
+
+__all__ = ["ValidateConfig", "RegionReport", "validate_regions"]
+
+
+@dataclass
+class ValidateConfig:
+    weak_coverage_window: int = 500
+    min_coverage_reads: int = 0  # derive via validation_min_coverage()
+    min_spanning_reads: int = 3
+    proper_allowance: int = TRACE_SPACING
+    #: margin around the region a spanning read must cover
+    region_context: int = 100
+
+
+@dataclass
+class RegionReport:
+    contig_id: int
+    begin: int
+    end: int
+    is_valid: bool
+    n_spanning: int
+    weak_windows: list[tuple[int, int]]
+    #: ids of the two input contigs flanking the formerly open gap
+    contig_ids: tuple[int, int] | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "contigId": self.contig_id,
+            "begin": self.begin,
+            "end": self.end,
+            "isValid": self.is_valid,
+            "numSpanningReads": self.n_spanning,
+            "weakWindows": self.weak_windows,
+            "contigIds": list(self.contig_ids) if self.contig_ids else None,
+        }
+
+
+def validate_regions(
+    las: LocalAlignmentSet,
+    chains: list[Chain],
+    regions: Region,
+    contig_lengths: np.ndarray,
+    read_lengths: np.ndarray,
+    cfg: ValidateConfig,
+    region_contig_ids: dict[tuple[int, int, int], tuple[int, int]] | None = None,
+) -> tuple[list[RegionReport], Region]:
+    """Validate `regions` (tag = preliminary contig id, begin/end).
+
+    Returns (reports, weak-coverage mask).
+    """
+    # per-chain A intervals and properness
+    spans = []
+    for ch in chains:
+        ab, ae, bb, be = ch.first_last(las)
+        a_len = int(contig_lengths[ch.a_id - 1])
+        b_len = int(read_lengths[ch.b_id - 1])
+        proper = ch.is_proper(las, a_len, b_len, cfg.proper_allowance)
+        spans.append((ch.a_id, ab, ae, proper))
+    reports: list[RegionReport] = []
+    weak_triples = []
+    W = cfg.weak_coverage_window
+    for tag, begin, end in regions.iv:
+        tag, begin, end = int(tag), int(begin), int(end)
+        a_len = int(contig_lengths[tag - 1])
+        ctx_lo = max(0, begin - W)
+        ctx_hi = min(a_len, end + W)
+        cover = [(ab, ae) for (aid, ab, ae, _) in spans if aid == tag]
+        n_span = sum(
+            1 for (aid, ab, ae, proper) in spans
+            if aid == tag and proper
+            and ab <= max(0, begin - cfg.region_context)
+            and ae >= min(a_len, end + cfg.region_context)
+        )
+        weak = []
+        x = ctx_lo
+        while x < ctx_hi:
+            w_end = min(x + W, ctx_hi)
+            cov = sum(1 for ab, ae in cover if ab < w_end and ae > x and
+                      (min(ae, w_end) - max(ab, x)) >= (w_end - x) // 2)
+            if cov < cfg.min_coverage_reads:
+                weak.append((x, w_end))
+            x += W
+        is_valid = n_span >= cfg.min_spanning_reads and not weak
+        cids = None
+        if region_contig_ids:
+            cids = region_contig_ids.get((tag, begin, end))
+        reports.append(RegionReport(tag, begin, end, is_valid, n_span, weak, cids))
+        weak_triples.extend((tag, b, e) for b, e in weak)
+    weak_mask = Region.from_triples(weak_triples) if weak_triples else Region()
+    log_json("info", event="validateRegions", numRegions=len(reports),
+             numValid=sum(r.is_valid for r in reports))
+    return reports, weak_mask

@@ -30,12 +30,14 @@ import numpy as np
 from ..io.fasta import reverse_complement
 from ..models.alignments import TRACE_SPACING, LocalAlignmentSet, concat_alignments
 from ..utils.log import log_json
-from .banded import extend_batch
+from .banded import extend_batch_async
 from .seeding import KmerIndex, SeedCandidate, cluster_seeds
 
 __all__ = ["AlignerConfig", "Aligner", "align_store_pair"]
 
-_BUCKETS = [2 * TRACE_SPACING * (1 << i) for i in range(9)]  # 252 .. 64512
+#: window-length buckets; capped at 32256 so band centers fit int16
+#: (cheap host→device transfer)
+_BUCKETS = [2 * TRACE_SPACING * (1 << i) for i in range(8)]  # 252 .. 32256
 
 
 @dataclass
@@ -94,8 +96,8 @@ class Aligner:
         self.index = index
         self.target_codes = target_codes
         self.cfg = config or AlignerConfig()
-        self._pending: dict[int, list[tuple[_Job, dict]]] = {b: [] for b in _BUCKETS}
-        self._results: list[LocalAlignmentSet] = []
+        self._pending: dict[int, list[_Job]] = {b: [] for b in _BUCKETS}
+        self._inflight: list[tuple[list[_Job], tuple]] = []  # async dispatches
         self._cands: list[_CandState] = []
 
     # ------------------------------------------------------------------
@@ -142,7 +144,7 @@ class Aligner:
         if r_f > 0:
             rows = np.arange(r_f + 1)
             centers = _interp_slope1(a0 + rows, ap_u, bp_u) - b0
-            centers = np.maximum.accumulate(np.clip(centers, 0, b_rem))
+            centers = np.maximum.accumulate(np.clip(centers, 0, min(b_rem, r_f + W)))
             self._enqueue(_Job(ci, +1, a_seq[a0 : a0 + r_f], b_codes, b0, b_rem,
                                centers.astype(np.int32), r_f))
         # backward job (mirrored coordinates)
@@ -150,7 +152,7 @@ class Aligner:
         if r_b > 0:
             rows = np.arange(r_b + 1)
             centers = b0 - _interp_slope1(a0 - rows, ap_u, bp_u)
-            centers = np.maximum.accumulate(np.clip(centers, 0, b0))
+            centers = np.maximum.accumulate(np.clip(centers, 0, min(b0, r_b + W)))
             self._enqueue(_Job(ci, -1, a_seq[a0 - r_b : a0][::-1], b_codes, b0, b0,
                                centers.astype(np.int32), r_b))
 
@@ -192,14 +194,22 @@ class Aligner:
             cl = len(j.centers)
             centers[n, :cl] = j.centers
             centers[n, cl:] = j.centers[-1]
-        row_j, row_d, row_s = extend_batch(a_win, b_win, a_lens, b_lens, centers, W=W)
-        for n, j in enumerate(jobs):
-            res = _summarize(row_j[n], row_d[n], row_s[n], j.r_valid)
-            cand = self._cands[j.cand_idx]
-            if j.direction > 0:
-                cand.fwd = res
-            else:
-                cand.bwd = res
+        # async dispatch: device computes while the host seeds more reads
+        out = extend_batch_async(a_win, b_win, a_lens, b_lens, centers, W=W)
+        self._inflight.append((jobs, out))
+
+    def _drain(self):
+        for jobs, out in self._inflight:
+            r_end, j_end, d_end, s_end, trace_j, trace_d = (np.asarray(o) for o in out)
+            for n, j in enumerate(jobs):
+                res = _summarize(int(r_end[n]), int(j_end[n]), int(d_end[n]),
+                                 int(s_end[n]), trace_j[:, n], trace_d[:, n])
+                cand = self._cands[j.cand_idx]
+                if j.direction > 0:
+                    cand.fwd = res
+                else:
+                    cand.bwd = res
+        self._inflight = []
 
     # ------------------------------------------------------------------
     def align_query(self, b_codes: np.ndarray, b_id: int,
@@ -223,6 +233,7 @@ class Aligner:
         """Flush pending jobs and assemble the alignment set."""
         for b in _BUCKETS:
             self._flush_bucket(b)
+        self._drain()
         las = _assemble(self._cands, self.cfg)
         self._cands = []
         return las
@@ -237,26 +248,18 @@ def _interp_slope1(x, xp, fp):
     return y.astype(np.int64)
 
 
-def _summarize(row_j, row_d, row_s, r_valid):
-    """Per-direction DP output → (r_end, j_end, d_end, score, trace_j, trace_d).
+def _summarize(r_end, j_end, d_end, score, trace_j_col, trace_d_col):
+    """Device summary → (r_end, j_end, d_end, score, trace_j, trace_d).
 
-    trace_* are sampled at rows 126, 252, … ≤ r_end (monotone envelopes).
+    trace_* are the monotone-envelope samples at rows 126, 252, … < r_end;
+    trace column k holds DP row (k+1)·126.
     """
-    row_j = row_j[:r_valid]
-    row_d = row_d[:r_valid]
-    row_s = row_s[:r_valid]
-    if r_valid == 0 or row_s.size == 0 or row_s.max() <= 0:
+    if score <= 0:
         return (0, 0, 0, 0, np.empty(0, np.int64), np.empty(0, np.int64))
-    jm = np.maximum.accumulate(row_j)
-    dm = np.maximum.accumulate(row_d)
-    r_end = int(np.argmax(row_s)) + 1  # rows are 1-based
-    j_end = int(jm[r_end - 1])
-    d_end = int(dm[r_end - 1])
-    score = int(row_s[r_end - 1])
-    tr_rows = np.arange(TRACE_SPACING, r_end, TRACE_SPACING)
-    trace_j = np.minimum(jm[tr_rows - 1], j_end)
-    trace_d = np.minimum(dm[tr_rows - 1], d_end)
-    return (r_end, j_end, d_end, score, trace_j.astype(np.int64), trace_d.astype(np.int64))
+    n_trace = max(0, (r_end - 1)) // TRACE_SPACING  # rows 126.. < r_end
+    trace_j = np.minimum(trace_j_col[:n_trace].astype(np.int64), j_end)
+    trace_d = np.minimum(trace_d_col[:n_trace].astype(np.int64), d_end)
+    return (r_end, j_end, d_end, score, trace_j, trace_d)
 
 
 def _assemble(cands: list[_CandState], cfg: AlignerConfig) -> LocalAlignmentSet:

@@ -45,14 +45,18 @@ INF = np.int32(1 << 28)
 def _extend_scan(a_chars, b_win, b_len, centers, a_len, W: int):
     """Run the banded DP.
 
-    a_chars: (R, N) int32 — A char consumed at row r (r = 1..R ↔ index r-1)
-    b_win:   (N, BW) int32 — B chars; B[j] stored at b_win[:, j + W]
+    a_chars: (R, N) uint8 — A char consumed at row r (r = 1..R ↔ index r-1)
+    b_win:   (N, BW) uint8 — B chars; B[j] stored at b_win[:, j + W]
     b_len:   (N,) int32 — valid B length (cells 0 ≤ j ≤ b_len)
-    centers: (R+1, N) int32 — band center per row (centers[0] ≈ 0)
+    centers: (R+1, N) int16 — band center per row (centers[0] ≈ 0)
     a_len:   (N,) int32 — valid rows (rows r > a_len are ignored)
 
-    Returns (row_j, row_d, row_s): each (R, N) int32 — per-row best cell.
+    8-bit/16-bit inputs keep host→device transfers small (the tunnel to
+    the chip is bandwidth-limited); widening happens on device.
     """
+    a_chars = a_chars.astype(jnp.int32)
+    b_win = b_win.astype(jnp.int32)
+    centers = centers.astype(jnp.int32)
     R, N = a_chars.shape
     BW = b_win.shape[1]
     p = jnp.arange(W, dtype=jnp.int32)
@@ -63,7 +67,7 @@ def _extend_scan(a_chars, b_win, b_len, centers, a_len, W: int):
     D0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), j0, INF).astype(jnp.int32)
 
     def body(carry, xs):
-        D_prev = carry
+        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
         a_ch, c_prev, c_cur, r = xs
         s = (c_cur - c_prev)[:, None]  # (N,1)
         idx = p[None, :] + s  # gather indices into previous wavefront
@@ -99,13 +103,32 @@ def _extend_scan(a_chars, b_win, b_len, centers, a_len, W: int):
         row_j = jnp.take_along_axis(j, best_p[:, None], axis=1)[:, 0]
         row_d = jnp.take_along_axis(D, best_p[:, None], axis=1)[:, 0]
         row_s = jnp.take_along_axis(S, best_p[:, None], axis=1)[:, 0]
-        return D, (row_j, row_d, row_s)
+        # running maxima and best-score tracking live in the carry (a
+        # post-hoc cummax over the row axis compiles pathologically)
+        jm = jnp.maximum(jm, row_j)
+        dm = jnp.maximum(dm, row_d)
+        better = row_s > best_s
+        best_s = jnp.where(better, row_s, best_s)
+        best_r = jnp.where(better, r, best_r)
+        best_j = jnp.where(better, jm, best_j)
+        best_d = jnp.where(better, dm, best_d)
+        return (D, jm, dm, best_s, best_r, best_j, best_d), (jm, dm)
 
     rows = jnp.arange(1, R + 1, dtype=jnp.int32)
     rr = jnp.broadcast_to(rows[:, None], (R, N))
     xs = (a_chars, centers[:-1], centers[1:], rr)
-    _, (row_j, row_d, row_s) = jax.lax.scan(body, D0, xs)
-    return row_j, row_d, row_s
+    zero = jnp.zeros((N,), dtype=jnp.int32)
+    init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
+    (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
+        body, init, xs)
+
+    # Only O(R/126) trace samples and per-lane ends leave the device
+    # (transferring full (R, N) rows dominated the host profile).
+    from ..models.alignments import TRACE_SPACING
+
+    trace_j = jm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
+    trace_d = dm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
+    return best_r, best_j, best_d, best_s, trace_j, trace_d
 
 
 def extend_batch(a_win: np.ndarray, b_win: np.ndarray, a_len: np.ndarray,
@@ -115,15 +138,25 @@ def extend_batch(a_win: np.ndarray, b_win: np.ndarray, a_len: np.ndarray,
     a_win: (N, R) uint8 codes (A chars consumed forward from the anchor)
     b_win: (N, R + 2W) uint8 codes, B[j] at column j + W
     centers: (N, R+1) int32 band centers
-    Returns (row_j, row_d, row_s) as (N, R) int32 arrays.
+    Returns per-lane (r_end, j_end, d_end, s_end, trace_j (T, N),
+    trace_d (T, N)) numpy arrays, where trace row k samples DP row
+    (k+1)·126.
     """
-    N, R = a_win.shape
-    rj, rd, rs = _extend_scan(
-        jnp.asarray(a_win.T, dtype=jnp.int32),
-        jnp.asarray(b_win, dtype=jnp.int32),
+    out = extend_batch_async(a_win, b_win, a_len, b_len, centers, W=W)
+    return tuple(np.asarray(o) for o in out)
+
+
+def extend_batch_async(a_win, b_win, a_len, b_len, centers, W: int = 128):
+    """Dispatch the extension without blocking; returns device arrays.
+
+    The caller materializes results later (``np.asarray``), letting the
+    device compute overlap host-side seeding of subsequent batches.
+    """
+    return _extend_scan(
+        jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
+        jnp.asarray(b_win, dtype=jnp.uint8),
         jnp.asarray(b_len, dtype=jnp.int32),
-        jnp.asarray(centers.T, dtype=jnp.int32),
+        jnp.asarray(np.ascontiguousarray(centers.T), dtype=jnp.int16),
         jnp.asarray(a_len, dtype=jnp.int32),
         W=W,
     )
-    return (np.asarray(rj).T, np.asarray(rd).T, np.asarray(rs).T)

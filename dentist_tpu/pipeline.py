@@ -1,0 +1,206 @@
+"""The end-to-end gap-closing pipeline — the Snakemake workflow replacement.
+
+One in-process run replaces the reference's 43-rule DAG
+(``snakemake/Snakefile:924-1532``), preserving its stage structure:
+
+1. dust + tandem masks on the assembly,
+2. masked self-alignment → coverage repeat mask (``dentist mask``),
+3. masked read mapping → reads repeat mask, mask homogenization
+   (assembly→reads→assembly propagation round trip, ``Snakefile:1218-1287``),
+4. collect pile-ups → process (consensus) → insertions,
+5. preliminary output,
+6. second pass (unless disabled): re-map reads to the preliminary
+   assembly, validate closed-gap regions (coverage + spanning reads),
+   derive the skip-gaps list from invalid regions (``skip_gaps.py``),
+7. final purged output (FASTA + AGP + BED).
+
+All intermediate state stays in memory; ``workdir`` (optional) persists
+the stage artifacts in the framework's container formats for inspection
+and restart — the checkpoint/resume model of the reference, where "the
+filesystem is the checkpoint" (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .io.fasta import FastaRecord, codes_to_seq, read_fasta
+from .models.mask import (
+    coverage_mask,
+    dust_mask,
+    pack_chain_intervals,
+    propagate_mask,
+    propagate_mask_b_to_a,
+    repeat_coverage_bounds_improper,
+    repeat_coverage_bounds_reads,
+    tandem_mask,
+    validation_min_coverage,
+)
+from .models.output import OutputConfig, build_output, write_output
+from .models.pileups import ChainCtx, CollectConfig, collect_pile_ups
+from .models.process import ProcessConfig, process_pile_ups
+from .models.sequences import SeqStore, load_assembly, load_reads, split_scaffolds
+from .models.validate import ValidateConfig, validate_regions
+from .ops.aligner import AlignerConfig, align_store_pair
+from .ops.mapper import MapperConfig, map_reads
+from .utils.log import log_json, trace_execution
+from .utils.regions import Region
+
+__all__ = ["PipelineConfig", "run_pipeline"]
+
+
+@dataclass
+class PipelineConfig:
+    read_coverage: float | None = None
+    max_coverage_self: int = 4
+    min_spanning_reads: int = 3
+    min_anchor_length: int = 500
+    join_policy: str = "scaffoldGaps"
+    max_insertion_error: float = 0.1
+    no_validation: bool = False
+    allow_single_reads: bool = False
+    workdir: str | None = None
+    ploidy: int = 1
+
+
+@trace_execution
+def run_pipeline(assembly_path, reads_path, out_path, cfg: PipelineConfig | None = None):
+    cfg = cfg or PipelineConfig()
+    contigs, structure = load_assembly(assembly_path)
+    reads = load_reads(reads_path)
+    read_list = [reads.get(i + 1) for i in range(len(reads))]
+    if cfg.read_coverage is None:
+        cfg.read_coverage = reads.total_length / max(contigs.total_length, 1)
+        log_json("info", event="derivedReadCoverage", coverage=round(cfg.read_coverage, 2))
+
+    result = close_gaps(contigs, structure, reads, read_list, cfg)
+    agp = os.path.splitext(out_path)[0] + ".agp"
+    bed = os.path.splitext(out_path)[0] + ".closed-gaps.bed"
+    write_output(result, out_path, agp_path=agp, bed_path=bed)
+    log_json("info", event="pipelineDone", out=out_path,
+             numClosedGaps=result.n_closed_gaps)
+    return result
+
+
+def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
+    """Stages 1-3: dust, tandem, self-repeat, reads-repeat, homogenized."""
+    c, o, l = contigs.codes, contigs.offsets, contigs.lengths
+    dust = dust_mask(c, o, l)
+    tan = tandem_mask(c, o, l)
+    self_las = align_store_pair(
+        c, o, l, [contigs.get(i + 1) for i in range(len(contigs))],
+        config=AlignerConfig(), self_alignment=True,
+        mask_intervals=(dust | tan).iv,
+    )
+    self_mask = coverage_mask(pack_chain_intervals(self_las), l, 0, cfg.max_coverage_self)
+    repeats = self_mask | tan
+
+    las, chains = map_reads(
+        c, o, l, read_list, config=MapperConfig(),
+        mask_intervals=(dust | repeats).iv,
+    )
+    _, hi_reads = repeat_coverage_bounds_reads(cfg.read_coverage)
+    reads_mask = coverage_mask(pack_chain_intervals(las), l, 0, hi_reads)
+    repeats = repeats | reads_mask
+
+    # homogenization round trip (mask-H): assembly → reads → assembly
+    read_lengths = np.array([len(r) for r in read_list], dtype=np.int64)
+    on_reads = propagate_mask(repeats, las, read_lengths)
+    homogenized = repeats | propagate_mask_b_to_a(on_reads, las, l, read_lengths)
+    return dust, repeats, homogenized, las, chains
+
+
+def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConfig):
+    dust, repeats, homogenized, las, chains = masks_for(contigs, read_list, cfg)
+
+    ctx = ChainCtx(las, chains, contigs.lengths, reads.lengths)
+    collect_cfg = CollectConfig(
+        min_anchor_length=cfg.min_anchor_length,
+        min_spanning_reads=cfg.min_spanning_reads,
+    )
+    pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized, collect_cfg)
+    insertions = process_pile_ups(
+        pile_ups, ctx, contigs, reads, homogenized,
+        ProcessConfig(allow_single_reads=cfg.allow_single_reads,
+                      max_insertion_error=cfg.max_insertion_error),
+    )
+    out_cfg = OutputConfig(join_policy=cfg.join_policy,
+                           max_insertion_error=cfg.max_insertion_error)
+    result = build_output(contigs, structure, insertions, out_cfg)
+
+    if cfg.no_validation:
+        return result
+
+    # ---- second pass: validate closed gaps on the preliminary assembly
+    skip = _validation_pass(result, read_list, reads, cfg)
+    if skip:
+        out_cfg.skip_gaps = skip
+        result = build_output(contigs, structure, insertions, out_cfg)
+    return result
+
+
+def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
+    """Re-map reads to the preliminary assembly and validate closed gaps.
+
+    Returns the skip-gaps set (pairs of input contig ids) for invalid
+    regions (``Snakefile:1380-1493`` + ``skip_gaps.py``).
+    """
+    prelim_records = [FastaRecord(h, _str_codes(s)) for h, s in result.records]
+    prelim, prelim_structure = split_scaffolds(prelim_records)
+    if len(prelim) == 0 or not result.bed_rows:
+        return set()
+
+    # closed-gap regions on preliminary contigs (bed2mask semantics)
+    name_to_sid = {h.split("\t")[0]: i for i, h in enumerate(prelim_structure.headers)}
+    triples = []
+    region_ids = {}
+    for row in result.bed_rows:
+        name, b, e, data = row.split("\t")
+        b, e = int(b), int(e)
+        sid = name_to_sid.get(name)
+        if sid is None:
+            continue
+        pair = None
+        for field in data.split(";"):
+            if field.startswith("contigIds="):
+                a_, b_ = field.split("=")[1].split("-")
+                pair = (int(a_), int(b_))
+        for c in prelim_structure.contigs:
+            if c.scaffold_id == sid and c.begin < e and b < c.end:
+                tb, te = max(0, b - c.begin), min(c.length, e - c.begin)
+                triples.append((c.global_contig_id, tb, te))
+                region_ids[(c.global_contig_id, tb, te)] = pair
+    regions = Region.from_triples(triples) if triples else Region()
+    if regions.empty:
+        return set()
+
+    p_dust = dust_mask(prelim.codes, prelim.offsets, prelim.lengths)
+    p_tan = tandem_mask(prelim.codes, prelim.offsets, prelim.lengths)
+    p_las, p_chains = map_reads(
+        prelim.codes, prelim.offsets, prelim.lengths, read_list,
+        config=MapperConfig(), mask_intervals=(p_dust | p_tan).iv,
+    )
+    vcfg = ValidateConfig(
+        min_coverage_reads=validation_min_coverage(cfg.read_coverage, cfg.ploidy),
+        min_spanning_reads=cfg.min_spanning_reads,
+    )
+    reports, _weak = validate_regions(
+        p_las, p_chains, regions, prelim.lengths, reads.lengths, vcfg,
+        region_contig_ids=region_ids,
+    )
+    skip = set()
+    for r in reports:
+        if not r.is_valid and r.contig_ids:
+            log_json("warn", event="gapPurged", contigIds=list(r.contig_ids),
+                     numSpanning=r.n_spanning, weakWindows=len(r.weak_windows))
+            skip.add(tuple(sorted(r.contig_ids)))
+    return skip
+
+
+def _str_codes(s: str) -> np.ndarray:
+    from .io.fasta import seq_to_codes
+
+    return seq_to_codes(s.lower())

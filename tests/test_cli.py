@@ -1,0 +1,139 @@
+"""CLI integration tests: drive commands through main() on real files."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dentist_tpu.cli import main, resolve_command
+from dentist_tpu.io.fasta import codes_to_seq, write_fasta
+from dentist_tpu.sim.genome import random_genome
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    truth = random_genome(50000, seed=70)
+    write_fasta(str(d / "truth.fasta"), [("chr1", codes_to_seq(truth))])
+    return d
+
+
+def test_resolve_command_prefix():
+    assert resolve_command("mask") == "mask-repetitive-regions"
+    assert resolve_command("collect") == "collect-pile-ups"
+    assert resolve_command("process") == "process-pile-ups"
+    with pytest.raises(SystemExit):
+        resolve_command("nonsense")
+
+
+def test_commands_listing(capsys):
+    assert main(["--commands"]) == 0
+    out = capsys.readouterr().out
+    assert "collect-pile-ups" in out and "pipeline" in out
+
+
+def test_full_cli_pipeline(workdir, capsys):
+    d = workdir
+    # build gapped assembly + reads
+    assert main(["build-partial-assembly", str(d / "truth.fasta"),
+                 str(d / "assembly.fasta"), "--num-gaps", "2",
+                 "--min-gap-size", "60", "--max-gap-size", "200",
+                 "--seed", "71"]) == 0
+    assert main(["simulate-reads", str(d / "truth.fasta"), str(d / "reads.fasta"),
+                 "--coverage", "20", "--mean-length", "9000",
+                 "--sd-length", "3000", "--seed", "72"]) == 0
+    capsys.readouterr()
+
+    # closable gaps (ground truth)
+    assert main(["find-closable-gaps", str(d / "assembly.fasta"),
+                 str(d / "reads.fasta")]) == 0
+    closable = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(closable) == 2
+    assert all(g["isClosable"] for g in closable)
+
+    # end-to-end pipeline
+    assert main(["pipeline", str(d / "assembly.fasta"), str(d / "reads.fasta"),
+                 str(d / "closed.fasta")]) == 0
+    capsys.readouterr()
+
+    # check results against the truth
+    assert main(["check-results", str(d / "truth.fasta"),
+                 str(d / "assembly.fasta"), str(d / "closed.fasta"), "-j"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["numGaps"] == 2
+    assert stats["numClosedGaps"] == 2
+    assert stats["numCorrectGaps"]["1.0"] == 2, stats
+    assert (d / "closed.agp").exists()
+    assert (d / "closed.closed-gaps.bed").exists()
+
+
+def test_stage_commands(workdir, capsys):
+    d = workdir
+    # staged execution path: dust/tandem/align/mask/map
+    assert main(["dust", str(d / "assembly.fasta"), str(d / "dust.mask.npz")]) == 0
+    assert main(["tandem", str(d / "assembly.fasta"), str(d / "tan.mask.npz")]) == 0
+    assert main(["align", str(d / "assembly.fasta"), str(d / "self.las.npz"),
+                 "--mask", str(d / "dust.mask.npz"), str(d / "tan.mask.npz")]) == 0
+    assert main(["mask", str(d / "assembly.fasta"), str(d / "self.las.npz"),
+                 str(d / "self.mask.npz"), "--max-coverage-self", "3"]) == 0
+    assert main(["merge-masks", str(d / "merged.mask.npz"),
+                 str(d / "dust.mask.npz"), str(d / "tan.mask.npz"),
+                 str(d / "self.mask.npz")]) == 0
+    assert main(["map", str(d / "assembly.fasta"), str(d / "reads.fasta"),
+                 str(d / "reads.las.npz"), "--mask", str(d / "merged.mask.npz")]) == 0
+    assert main(["collect", str(d / "assembly.fasta"), str(d / "reads.fasta"),
+                 str(d / "reads.las.npz"), str(d / "pile-ups.npz"),
+                 "--mask", str(d / "merged.mask.npz")]) == 0
+    assert main(["show-pile-ups", str(d / "pile-ups.npz"), "-j"]) == 0
+    pu = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert pu["numPileUps"] >= 2
+    assert main(["process", str(d / "assembly.fasta"), str(d / "reads.fasta"),
+                 str(d / "reads.las.npz"), str(d / "pile-ups.npz"),
+                 str(d / "insertions.npz"), "--mask", str(d / "merged.mask.npz"),
+                 "--batch", "0..1"]) == 0
+    assert main(["process", str(d / "assembly.fasta"), str(d / "reads.fasta"),
+                 str(d / "reads.las.npz"), str(d / "pile-ups.npz"),
+                 str(d / "insertions2.npz"), "--mask", str(d / "merged.mask.npz"),
+                 "--batch", "1..99"]) == 0
+    assert main(["merge-insertions", str(d / "insertions-merged.npz"),
+                 str(d / "insertions.npz"), str(d / "insertions2.npz")]) == 0
+    assert main(["output", str(d / "assembly.fasta"),
+                 str(d / "insertions-merged.npz"), str(d / "staged.fasta"),
+                 "--agp", str(d / "staged.agp"),
+                 "--closed-gaps-bed", str(d / "staged.bed"),
+                 "--scaffolding", str(d / "scaffolding.json")]) == 0
+    capsys.readouterr()
+    assert main(["check-results", str(d / "truth.fasta"),
+                 str(d / "assembly.fasta"), str(d / "staged.fasta"), "-j"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["numClosedGaps"] == 2
+    # translate-coords round trip
+    assert main(["translate-coords", str(d / "scaffolding.json"), "chr1/100"]) == 0
+    tc = json.loads(capsys.readouterr().out)
+    assert tc["kind"] == "contig" and tc["coord"] == 100
+
+
+def test_mask_utils(workdir, capsys):
+    d = workdir
+    assert main(["show-mask", str(d / "merged.mask.npz"), "-j"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["numIntervals"] == len(info["intervals"])
+    assert main(["filter-mask", str(d / "merged.mask.npz"),
+                 str(d / "filtered.mask.npz"), "--min-interval-size", "30"]) == 0
+    assert main(["mask2bed", str(d / "assembly.fasta"),
+                 str(d / "merged.mask.npz"), str(d / "mask.bed")]) == 0
+    assert main(["bed2mask", str(d / "assembly.fasta"), str(d / "mask.bed"),
+                 str(d / "roundtrip.mask.npz")]) == 0
+
+
+def test_validate_config(tmp_path, capsys):
+    cfg = tmp_path / "dentist.json"
+    cfg.write_text(json.dumps({
+        "__default__": {"min-spanning-reads": 2, "// comment": "ignored"},
+        "output": {"max-insertion-error": 0.05},
+    }))
+    assert main(["validate-config", str(cfg)]) == 0
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"not-a-command": {}}))
+    with pytest.raises(SystemExit):
+        main(["validate-config", str(bad)])
