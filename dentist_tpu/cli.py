@@ -453,6 +453,99 @@ def cmd_validate_regions(args):
         save_mask(args.weak_coverage_mask, weak)
 
 
+@command("export-las")
+def cmd_export_las(args):
+    """Write alignments in Dazzler ``.las`` format (golden comparison edge)."""
+    from .io.dazzler import write_las
+    from .io.store import load_alignments
+
+    las, _ = load_alignments(args.alignments)
+    write_las(args.out_las, las)
+    log_json("info", event="exportLas", numLocalAlignments=len(las))
+
+
+@command("import-las")
+def cmd_import_las(args):
+    """Read a Dazzler ``.las`` file into the framework container format."""
+    from .io.dazzler import read_las
+    from .io.store import save_alignments
+
+    las, spacing = read_las(args.las)
+    if spacing != 126:
+        log_json("warn", event="importLas", info="trace spacing != 126",
+                 spacing=spacing)
+    save_alignments(args.out_alignments, las)
+    log_json("info", event="importLas", numLocalAlignments=len(las))
+
+
+@command("generate-config")
+def cmd_generate_config(args):
+    """Print the effective pipeline parameter set.
+
+    The analogue of ``generate-dazzler-options``
+    (``commands/generateDazzlerOptions.d``): where the reference prints
+    exact daligner/damapper command lines for the workflow to run, the
+    in-process pipeline prints the derived stage parameters (coverage
+    thresholds, chaining/collection/consensus defaults) as a config
+    skeleton that can be edited and passed back via ``--config``.
+    """
+    from .models.mask import (repeat_coverage_bounds_improper,
+                              repeat_coverage_bounds_reads,
+                              validation_min_coverage)
+
+    cfg = {
+        "__default__": {
+            "min-anchor-length": 500,
+            "min-spanning-reads": 3,
+            "max-alignment-error": 0.3,
+            "trace-spacing": 126,
+        },
+        "mask-repetitive-regions": {"max-coverage-self": 4},
+        "collect-pile-ups": {
+            "best-pile-up-margin": 3.0,
+            "existing-gap-bonus": 6.0,
+        },
+        "output": {
+            "max-insertion-error": 0.1,
+            "min-extension-length": 100,
+            "join-policy": "scaffoldGaps",
+        },
+    }
+    if args.read_coverage:
+        c = args.read_coverage
+        cfg["mask-repetitive-regions"]["max-coverage-reads"] = int(
+            repeat_coverage_bounds_reads(c)[1])
+        cfg["mask-repetitive-regions"]["max-improper-coverage-reads"] = int(
+            repeat_coverage_bounds_improper(c)[1])
+        cfg["validate-regions"] = {
+            "min-coverage-reads": validation_min_coverage(c, args.ploidy),
+        }
+    print(json.dumps(cfg, indent=2))
+
+
+@command("check-scaffolding")
+def cmd_check_scaffolding(args):
+    """Evaluate join correctness of the scaffolding
+    (``commands/checkScaffolding.d``): each pair of input contigs
+    adjacent in the result must be adjacent and equally oriented in the
+    true assembly."""
+    from .eval.check_results import check_results, GapState
+    from .io.fasta import read_fasta
+
+    true_records = [r.codes for r in read_fasta(args.true_assembly)]
+    store, structure = _load_assembly(args.test_assembly)
+    result_records = [r.codes for r in read_fasta(args.result_assembly)]
+    stats = check_results(true_records, structure, store, result_records)
+    joined = [g for g in stats.gaps if g.state in (GapState.CLOSED, GapState.PARTIALLY_CLOSED)]
+    correct = [g for g in joined if g.identity >= 0.95 or g.state == GapState.PARTIALLY_CLOSED]
+    report = {
+        "numJoins": len(joined),
+        "numCorrectJoins": len(correct),
+        "numBrokenContigs": sum(1 for g in stats.gaps if g.state == GapState.BROKEN),
+    }
+    print(json.dumps(report))
+
+
 @command("validate-config")
 def cmd_validate_config(args):
     cfg = load_config(args.config_file)
@@ -615,6 +708,12 @@ def build_parser() -> argparse.ArgumentParser:
         A("--read-coverage", type=float), A("--ploidy", type=int, default=1),
         A("--min-coverage-reads", type=int), A("--min-spanning-reads", type=int, default=3),
         A("--weak-coverage-mask"))
+    add("export-las", A("alignments"), A("out_las"))
+    add("import-las", A("las"), A("out_alignments"))
+    add("generate-config", A("--read-coverage", type=float),
+        A("--ploidy", type=int, default=1))
+    add("check-scaffolding", A("true_assembly"), A("test_assembly"),
+        A("result_assembly"))
     add("validate-config", A("config_file"))
     add("simulate-reads", A("genome"), A("out_reads"),
         A("--coverage", type=float, default=20.0),
