@@ -139,14 +139,19 @@ def check_results(
     result_records: list[np.ndarray],
 ) -> ResultStats:
     """Score `result_records` (gap-closed, coded incl. N) against the truth."""
+    from ..native import SuffixArrayIndex
+
+    true_idx = [SuffixArrayIndex(t) for t in true_records]
+    res_idx = [SuffixArrayIndex(r) for r in result_records]
+
     # locate each input contig in the truth (exact; tells us true gap content)
     contig_loc: dict[int, tuple[int, int]] = {}  # id -> (true_record, pos)
     for c in test_structure.contigs:
         seq = test_contigs.get(c.global_contig_id)
-        for ti, t in enumerate(true_records):
-            pos = _find_exact(t, seq)
-            if pos >= 0:
-                contig_loc[c.global_contig_id] = (ti, pos)
+        for ti, idx in enumerate(true_idx):
+            hits = idx.locate(seq, max_out=1)
+            if len(hits):
+                contig_loc[c.global_contig_id] = (ti, int(hits[0]))
                 break
 
     # locate contigs in the result (allowing either strand)
@@ -154,14 +159,15 @@ def check_results(
     comp = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
     for c in test_structure.contigs:
         seq = test_contigs.get(c.global_contig_id)
-        for ri, r in enumerate(result_records):
-            pos = _find_exact(r, seq)
-            if pos >= 0:
-                res_loc[c.global_contig_id] = (ri, pos, True)
+        rc = comp[seq][::-1]
+        for ri, idx in enumerate(res_idx):
+            hits = idx.locate(seq, max_out=1)
+            if len(hits):
+                res_loc[c.global_contig_id] = (ri, int(hits[0]), True)
                 break
-            pos = _find_exact(r, comp[seq][::-1])
-            if pos >= 0:
-                res_loc[c.global_contig_id] = (ri, pos, False)
+            hits = idx.locate(rc, max_out=1)
+            if len(hits):
+                res_loc[c.global_contig_id] = (ri, int(hits[0]), False)
                 break
 
     gaps: list[GapResult] = []

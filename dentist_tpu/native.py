@@ -1,0 +1,137 @@
+"""ctypes bindings for the native C++ components (``native/``).
+
+The reference vendors a C++ FM-index for exact contig anchoring in
+``check-results`` (``external/fm-index.cpp``, SDSL); our native library
+provides the same capability as a SA-IS suffix array with binary-search
+locate, plus 2-bit sequence packing (the Dazzler ``.bps`` layout).
+
+The library auto-builds on first use (``make -C native``); every entry
+point has a NumPy fallback so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .utils.log import log_json
+
+__all__ = ["SuffixArrayIndex", "pack_2bit", "unpack_2bit", "native_available"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdentistnative.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as exc:  # no compiler / no make: fall back to numpy
+            log_json("warn", event="nativeBuildFailed", error=str(exc))
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as exc:
+        log_json("warn", event="nativeLoadFailed", error=str(exc))
+        return None
+    lib.dentist_sa_build.restype = ctypes.c_void_p
+    lib.dentist_sa_build.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.dentist_sa_locate.restype = ctypes.c_int64
+    lib.dentist_sa_locate.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.dentist_sa_free.argtypes = [ctypes.c_void_p]
+    lib.dentist_pack_2bit.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+    lib.dentist_unpack_2bit.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class SuffixArrayIndex:
+    """Exact substring locator over coded DNA (0..3; 4 = separator)."""
+
+    def __init__(self, codes: np.ndarray):
+        self.codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        lib = _load()
+        self._handle = None
+        if lib is not None:
+            self._lib = lib
+            self._handle = ctypes.c_void_p(lib.dentist_sa_build(
+                self.codes.ctypes.data_as(ctypes.c_char_p), len(self.codes)))
+
+    def locate(self, pattern: np.ndarray, max_out: int = 64) -> np.ndarray:
+        """All exact occurrence positions (up to max_out), sorted."""
+        pattern = np.ascontiguousarray(pattern, dtype=np.uint8)
+        if self._handle is not None:
+            out = np.zeros(max_out, dtype=np.int64)
+            n = self._lib.dentist_sa_locate(
+                self._handle, pattern.ctypes.data_as(ctypes.c_char_p),
+                len(pattern), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                max_out,
+            )
+            return np.sort(out[: min(n, max_out)])
+        return self._locate_numpy(pattern, max_out)
+
+    def _locate_numpy(self, pattern: np.ndarray, max_out: int) -> np.ndarray:
+        m = len(pattern)
+        if m == 0 or m > len(self.codes):
+            return np.empty(0, dtype=np.int64)
+        k = min(m, 32)
+        win = np.lib.stride_tricks.sliding_window_view(self.codes, k)
+        cand = np.flatnonzero((win == pattern[:k]).all(axis=1))
+        hits = [c for c in cand
+                if c + m <= len(self.codes)
+                and np.array_equal(self.codes[c : c + m], pattern)]
+        return np.array(hits[:max_out], dtype=np.int64)
+
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None:
+            try:
+                self._lib.dentist_sa_free(self._handle)
+            except Exception:
+                pass
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """4 bases per byte (Dazzler ``.bps`` layout)."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lib = _load()
+    out = np.zeros((len(codes) + 3) // 4, dtype=np.uint8)
+    if lib is not None:
+        lib.dentist_pack_2bit(codes.ctypes.data_as(ctypes.c_char_p), len(codes),
+                              out.ctypes.data_as(ctypes.c_char_p))
+        return out
+    for shift in range(4):
+        part = codes[shift::4] & 0x3
+        out[: len(part)] |= part << (2 * shift)
+    return out
+
+
+def unpack_2bit(packed: np.ndarray, n: int) -> np.ndarray:
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lib = _load()
+    out = np.zeros(n, dtype=np.uint8)
+    if lib is not None:
+        lib.dentist_unpack_2bit(packed.ctypes.data_as(ctypes.c_char_p), n,
+                                out.ctypes.data_as(ctypes.c_char_p))
+        return out
+    for shift in range(4):
+        vals = (packed >> (2 * shift)) & 0x3
+        take = len(out[shift::4])
+        out[shift::4] = vals[:take]
+    return out
