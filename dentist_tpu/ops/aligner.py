@@ -30,7 +30,7 @@ import numpy as np
 from ..io.fasta import reverse_complement
 from ..models.alignments import TRACE_SPACING, LocalAlignmentSet, concat_alignments
 from ..utils.log import log_json
-from .banded import extend_batch_async
+from .banded import extend_batch_v2_async
 from .seeding import KmerIndex, SeedCandidate, cluster_seeds
 
 __all__ = ["AlignerConfig", "Aligner", "align_store_pair"]
@@ -44,7 +44,9 @@ _BUCKETS = [2 * TRACE_SPACING * (1 << i) for i in range(8)]  # 252 .. 32256
 class AlignerConfig:
     k: int = 14
     max_occ: int = 48  # drop k-mers with more index hits (repeat storm guard)
-    band_width: int = 128
+    #: band width around the shared linear band schedule; must absorb each
+    #: lane's drift from the flush's common slope (σ ≈ √(0.1·L))
+    band_width: int = 256
     min_seeds: int = 3
     min_span: int = 100
     max_seed_gap: int = 2000
@@ -64,6 +66,12 @@ def _bucket_for(r: int) -> int:
     return _BUCKETS[-1]
 
 
+#: slope quantization for flush grouping (jobs in one dispatch share a
+#: linear band schedule; 0.02-wide bins keep per-lane deviation ≪ W/2)
+_SLOPE_BIN = 0.02
+_SLOPE_MIN, _SLOPE_MAX = 0.7, 1.4
+
+
 @dataclass
 class _Job:
     cand_idx: int
@@ -72,7 +80,7 @@ class _Job:
     b_chars: np.ndarray  # full B-side strand sequence (view)
     b_anchor: int  # b0 for forward, b0 for backward (chars taken from there)
     b_rem: int  # valid B length in this direction
-    centers: np.ndarray  # (R_valid+1,) int32
+    slope: float  # seed-estimated b-advance per a-advance
     r_valid: int
 
 
@@ -96,7 +104,8 @@ class Aligner:
         self.index = index
         self.target_codes = target_codes
         self.cfg = config or AlignerConfig()
-        self._pending: dict[int, list[_Job]] = {b: [] for b in _BUCKETS}
+        #: pending jobs keyed by (bucket, slope_bin)
+        self._pending: dict[tuple[int, int], list[_Job]] = {}
         self._inflight: list[tuple[list[_Job], tuple]] = []  # async dispatches
         self._cands: list[_CandState] = []
 
@@ -138,64 +147,66 @@ class Aligner:
             _CandState(cand.a_seq, b_id, cand.complement, a0, b0, cand.n_seeds)
         )
 
+        # seed-estimated slope (b advance per a advance)
+        if ap_u[-1] > ap_u[0]:
+            slope = (bp_u[-1] - bp_u[0]) / (ap_u[-1] - ap_u[0])
+        else:
+            slope = 1.0
+        slope = float(np.clip(slope, _SLOPE_MIN, _SLOPE_MAX))
+
         # forward job (window capped at the largest bucket)
         a_rem, b_rem = a_len - a0, b_len - b0
-        r_f = int(min(a_rem, 1.5 * b_rem + W, _BUCKETS[-1]))
+        r_f = int(min(a_rem, b_rem / slope + W, _BUCKETS[-1]))
         if r_f > 0:
-            rows = np.arange(r_f + 1)
-            centers = _interp_slope1(a0 + rows, ap_u, bp_u) - b0
-            centers = np.maximum.accumulate(np.clip(centers, 0, min(b_rem, r_f + W)))
             self._enqueue(_Job(ci, +1, a_seq[a0 : a0 + r_f], b_codes, b0, b_rem,
-                               centers.astype(np.int32), r_f))
+                               slope, r_f))
         # backward job (mirrored coordinates)
-        r_b = int(min(a0, 1.5 * b0 + W, _BUCKETS[-1]))
+        r_b = int(min(a0, b0 / slope + W, _BUCKETS[-1]))
         if r_b > 0:
-            rows = np.arange(r_b + 1)
-            centers = b0 - _interp_slope1(a0 - rows, ap_u, bp_u)
-            centers = np.maximum.accumulate(np.clip(centers, 0, min(b0, r_b + W)))
             self._enqueue(_Job(ci, -1, a_seq[a0 - r_b : a0][::-1], b_codes, b0, b0,
-                               centers.astype(np.int32), r_b))
+                               slope, r_b))
 
     def _enqueue(self, job: _Job):
-        bucket = _bucket_for(job.r_valid)
-        self._pending[bucket].append(job)
-        if len(self._pending[bucket]) >= self.cfg.batch_size:
-            self._flush_bucket(bucket)
+        key = (_bucket_for(job.r_valid), int(round(job.slope / _SLOPE_BIN)))
+        self._pending.setdefault(key, []).append(job)
+        if len(self._pending[key]) >= self.cfg.batch_size:
+            self._flush_group(key)
 
-    def _flush_bucket(self, bucket: int):
-        jobs = self._pending[bucket]
+    def _flush_group(self, key: tuple[int, int]):
+        jobs = self._pending.get(key, [])
         if not jobs:
             return
-        self._pending[bucket] = []
+        self._pending[key] = []
         cfg = self.cfg
         W = cfg.band_width
+        bucket, _slope_bin = key
         # pad the batch to a fixed lane count: one compilation per bucket
+        # (the slope enters through the traced `offs` array, not the shape)
         N, R = max(len(jobs), cfg.batch_size), bucket
-        BW = R + 2 * W
+        BW = int(_SLOPE_MAX * R) + 2 * W + 8
+        slope = float(np.mean([j.slope for j in jobs]))
+        offs = (np.round(slope * np.arange(R + 1)) - W // 2).astype(np.int32)
+        b_span = int(offs[-1]) + W  # max B coordinate the band can touch
         a_win = np.zeros((N, R), dtype=np.uint8)
         b_win = np.zeros((N, BW), dtype=np.uint8)
         a_lens = np.zeros(N, dtype=np.int32)
         b_lens = np.zeros(N, dtype=np.int32)
-        centers = np.zeros((N, R + 1), dtype=np.int32)
         for n, j in enumerate(jobs):
             a_win[n, : j.r_valid] = j.a_chars
             a_lens[n] = j.r_valid
-            b_lens[n] = min(j.b_rem, R + W // 2)
+            b_lens[n] = min(j.b_rem, b_span)
             # B chars for this direction: forward = b_chars[b0:], backward =
             # reversed b_chars[:b0]; columns j+W hold B[j] for j ≥ -W.
             if j.direction > 0:
-                src = j.b_chars[max(0, j.b_anchor - W) : j.b_anchor + R + W]
+                src = j.b_chars[max(0, j.b_anchor - W) : j.b_anchor + BW - W]
                 lead = W - min(W, j.b_anchor)  # columns with no B char
                 b_win[n, lead : lead + len(src)] = src
             else:
-                rev = j.b_chars[max(0, j.b_anchor - (R + W)) : j.b_anchor + W][::-1]
+                rev = j.b_chars[max(0, j.b_anchor - (BW - W)) : j.b_anchor + W][::-1]
                 lead = W - min(W, len(j.b_chars) - j.b_anchor)
                 b_win[n, lead : lead + len(rev)] = rev
-            cl = len(j.centers)
-            centers[n, :cl] = j.centers
-            centers[n, cl:] = j.centers[-1]
         # async dispatch: device computes while the host seeds more reads
-        out = extend_batch_async(a_win, b_win, a_lens, b_lens, centers, W=W)
+        out = extend_batch_v2_async(a_win, b_win, a_lens, b_lens, offs, W=W)
         self._inflight.append((jobs, out))
 
     def _drain(self):
@@ -231,8 +242,8 @@ class Aligner:
 
     def finish(self) -> LocalAlignmentSet:
         """Flush pending jobs and assemble the alignment set."""
-        for b in _BUCKETS:
-            self._flush_bucket(b)
+        for key in sorted(self._pending):
+            self._flush_group(key)
         self._drain()
         las = _assemble(self._cands, self.cfg)
         self._cands = []

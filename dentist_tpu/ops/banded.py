@@ -42,6 +42,102 @@ INF = np.int32(1 << 28)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
+def _extend_scan_v2(a_chars, b_win, b_len, offs, a_len, W: int):
+    """Gather-free banded extension: shared band schedule across lanes.
+
+    The band center follows a *linear* schedule ``offs[r]`` (precomputed on
+    the host from the batch's seed-estimated slope) shared by every lane of
+    the flush.  This removes all per-lane gathers from the inner loop —
+    TPU gathers serialize, and with per-lane band centers each of the
+    16 k scan steps paid three of them.  Per-lane deviation from the
+    shared schedule is absorbed by the band width (drift over 25 kb at
+    13 % error has σ ≈ 50 ≪ W/2).
+
+    a_chars (R, N) uint8; b_win (N, BW) uint8 with B[j] at column j+W;
+    offs (R+1,) int32 — band start per row (j of lane 0 of the band);
+    shifts offs[r]−offs[r−1] must be in {0, 1, 2}.
+    """
+    a_chars = a_chars.astype(jnp.int32)
+    b_win = b_win.astype(jnp.int32)
+    R, N = a_chars.shape
+    BW = b_win.shape[1]
+    p = jnp.arange(W, dtype=jnp.int32)
+    inf_col = jnp.full((N, 1), INF, dtype=jnp.int32)
+
+    j0 = offs[0] + p[None, :]
+    D0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), j0, INF).astype(jnp.int32)
+
+    def body(carry, xs):
+        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
+        a_ch, off_prev, off_cur, r = xs
+        s = off_cur - off_prev  # scalar in {0,1,2}
+        sh0 = D_prev
+        sh1 = jnp.concatenate([D_prev[:, 1:], inf_col], axis=1)
+        sh2 = jnp.concatenate([D_prev[:, 2:], inf_col, inf_col], axis=1)
+        E = jnp.where(s == 0, sh0, jnp.where(s == 1, sh1, sh2))
+        shm1 = jnp.concatenate([inf_col, D_prev[:, :-1]], axis=1)
+        E1 = jnp.where(s == 0, shm1, jnp.where(s == 1, sh0, sh1))
+
+        j = off_cur + p[None, :]
+        b_ch = jax.lax.dynamic_slice(
+            b_win, (0, off_cur - 1 + W), (N, W))
+        sub = (a_ch[:, None] != b_ch).astype(jnp.int32)
+
+        diag = jnp.where(j >= 1, E1 + sub, INF)
+        vert = E + 1
+        tmp = jnp.minimum(diag, vert)
+        valid = (j >= 0) & (j <= b_len[:, None])
+        tmp = jnp.where(valid, tmp, INF)
+        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
+        D = jnp.minimum(tmp, closed + p[None, :])
+        D = jnp.where(valid, jnp.minimum(D, INF), INF)
+
+        S = jnp.where(
+            valid & (D < INF) & (r <= a_len)[..., None],
+            (r + j) - DIFF_PENALTY * D,
+            -INF,
+        )
+        # row bests via reductions only (gathers serialize on TPU)
+        row_s = S.max(axis=1)
+        best_p = jnp.argmax(S, axis=1)
+        row_j = off_cur + best_p
+        row_d = jnp.where(S == row_s[:, None], D, INF).min(axis=1)
+        jm = jnp.maximum(jm, row_j)
+        dm = jnp.maximum(dm, row_d)
+        better = row_s > best_s
+        best_s = jnp.where(better, row_s, best_s)
+        best_r = jnp.where(better, r, best_r)
+        best_j = jnp.where(better, jm, best_j)
+        best_d = jnp.where(better, dm, best_d)
+        return (D, jm, dm, best_s, best_r, best_j, best_d), (jm, dm)
+
+    rows = jnp.arange(1, R + 1, dtype=jnp.int32)
+    xs = (a_chars, offs[:-1], offs[1:], rows)
+    zero = jnp.zeros((N,), dtype=jnp.int32)
+    init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
+    (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
+        body, init, xs)
+
+    from ..models.alignments import TRACE_SPACING
+
+    trace_j = jm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
+    trace_d = dm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
+    return best_r, best_j, best_d, best_s, trace_j, trace_d
+
+
+def extend_batch_v2_async(a_win, b_win, a_len, b_len, offs, W: int = 256):
+    """Dispatch the shared-schedule extension (see ``_extend_scan_v2``)."""
+    return _extend_scan_v2(
+        jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
+        jnp.asarray(b_win, dtype=jnp.uint8),
+        jnp.asarray(b_len, dtype=jnp.int32),
+        jnp.asarray(offs, dtype=jnp.int32),
+        jnp.asarray(a_len, dtype=jnp.int32),
+        W=W,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
 def _extend_scan(a_chars, b_win, b_len, centers, a_len, W: int):
     """Run the banded DP.
 

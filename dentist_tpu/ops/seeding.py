@@ -80,6 +80,57 @@ class KmerIndex:
         order = np.argsort(km, kind="stable")
         self.sorted_kmers = km[order]
         self.sorted_pos = pos[order]
+        self._build_bucket_table()
+
+    def _build_bucket_table(self):
+        """Direct-address acceleration for lookup.
+
+        Binary search into the full sorted array is cache-miss bound
+        (~24 ms per read); instead, unique k-mers are bucketed by their
+        high 24 bits — each bucket holds ≤ 2^(2k−24) distinct k-mers
+        (16 for k=14), so a fixed-width vectorized scan resolves a query
+        in a handful of gathers.
+        """
+        self.unique_kmers, first = np.unique(self.sorted_kmers, return_index=True)
+        self.unique_start = np.concatenate([first, [len(self.sorted_kmers)]]).astype(np.int64)
+        total_bits = 2 * self.k
+        self._bucket_bits = min(24, total_bits)
+        self._low_span = 1 << (total_bits - self._bucket_bits)
+        if len(self.unique_kmers) < 1 << 17:
+            self._bucket_start = None  # small index: plain searchsorted is fine
+            return
+        n_buckets = 1 << self._bucket_bits
+        high = (self.unique_kmers >> (total_bits - self._bucket_bits)).astype(np.int64)
+        self._bucket_start = np.zeros(n_buckets + 1, dtype=np.int64)
+        np.add.at(self._bucket_start, high + 1, 1)
+        np.cumsum(self._bucket_start, out=self._bucket_start)
+
+    def _lookup_ranges(self, qk: np.ndarray):
+        """(start, count) into sorted_pos for each query k-mer."""
+        if self._bucket_start is None:
+            lo = np.searchsorted(self.unique_kmers, qk, side="left")
+            lo = np.minimum(lo, len(self.unique_kmers) - 1) if len(self.unique_kmers) else lo
+            found = (len(self.unique_kmers) > 0) & (self.unique_kmers[lo] == qk) if len(self.unique_kmers) else np.zeros(len(qk), bool)
+            start = self.unique_start[lo]
+            count = np.where(found, self.unique_start[lo + 1] - start, 0)
+            return start, count
+        total_bits = 2 * self.k
+        b = (qk >> (total_bits - self._bucket_bits)).astype(np.int64)
+        lo_u = self._bucket_start[b]
+        hi_u = self._bucket_start[b + 1]
+        u_idx = np.full(len(qk), -1, dtype=np.int64)
+        U = len(self.unique_kmers)
+        for t in range(self._low_span):
+            cand = lo_u + t
+            ok = (cand < hi_u)
+            safe = np.minimum(cand, U - 1)
+            hit = ok & (self.unique_kmers[safe] == qk)
+            u_idx = np.where(hit, cand, u_idx)
+        found = u_idx >= 0
+        safe_u = np.maximum(u_idx, 0)
+        start = self.unique_start[safe_u]
+        count = np.where(found, self.unique_start[safe_u + 1] - start, 0)
+        return start, count
 
     def seq_id_of(self, global_pos: np.ndarray) -> np.ndarray:
         """Global position → 1-based sequence id."""
@@ -93,11 +144,9 @@ class KmerIndex:
         qk = kmer_codes(query_codes, self.k)
         if len(qk) == 0 or len(self.sorted_kmers) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        lo = np.searchsorted(self.sorted_kmers, qk, side="left")
-        hi = np.searchsorted(self.sorted_kmers, qk, side="right")
-        occ = hi - lo
+        start, occ = self._lookup_ranges(qk)
         use = (occ > 0) & (occ <= max_occ)
-        lo, occ = lo[use], occ[use]
+        lo, occ = start[use], occ[use]
         bpos = np.flatnonzero(use)
         # expand: for each query kmer, its occ index positions
         total = int(occ.sum())
