@@ -183,9 +183,12 @@ class Aligner:
         # pad the batch to a fixed lane count: one compilation per bucket
         # (the slope enters through the traced `offs` array, not the shape)
         N, R = max(len(jobs), cfg.batch_size), bucket
+        N = -(-N // 8) * 8  # lane-tile multiple (Pallas program width)
         BW = int(_SLOPE_MAX * R) + 2 * W + 8
         slope = float(np.mean([j.slope for j in jobs]))
-        offs = (np.round(slope * np.arange(R + 1)) - W // 2).astype(np.int32)
+        # rational schedule (r·num)//den so host and kernels agree exactly
+        num = int(round(slope * R))
+        offs = ((np.arange(R + 1, dtype=np.int64) * num) // R - W // 2).astype(np.int32)
         b_span = int(offs[-1]) + W  # max B coordinate the band can touch
         a_win = np.zeros((N, R), dtype=np.uint8)
         b_win = np.zeros((N, BW), dtype=np.uint8)
@@ -206,7 +209,18 @@ class Aligner:
                 lead = W - min(W, len(j.b_chars) - j.b_anchor)
                 b_win[n, lead : lead + len(rev)] = rev
         # async dispatch: device computes while the host seeds more reads
-        out = extend_batch_v2_async(a_win, b_win, a_lens, b_lens, offs, W=W)
+        out = None
+        if W % 128 == 0:
+            from .pallas_banded import extend_batch_pallas_async, pallas_available
+
+            if pallas_available():
+                try:
+                    out = extend_batch_pallas_async(a_win, b_win, a_lens, b_lens,
+                                                    offs, W=W)
+                except Exception as exc:
+                    log_json("warn", event="pallasFallback", error=str(exc))
+        if out is None:
+            out = extend_batch_v2_async(a_win, b_win, a_lens, b_lens, offs, W=W)
         self._inflight.append((jobs, out))
 
     def _drain(self):

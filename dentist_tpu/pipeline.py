@@ -121,7 +121,8 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
         min_anchor_length=cfg.min_anchor_length,
         min_spanning_reads=cfg.min_spanning_reads,
     )
-    pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized, collect_cfg)
+    pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized, collect_cfg,
+                                contigs=contigs, reads=reads)
     insertions = process_pile_ups(
         pile_ups, ctx, contigs, reads, homogenized,
         ProcessConfig(allow_single_reads=cfg.allow_single_reads,
