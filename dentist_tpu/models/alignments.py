@@ -143,6 +143,37 @@ class LocalAlignmentSet:
         b = int(self.b_begin[i]) + np.concatenate([[0], np.cumsum(b_adv)])
         return bounds, b
 
+    def exact_alignment(self, i: int, a_codes: np.ndarray, b_codes: np.ndarray,
+                        a_interval: tuple[int, int] | None = None):
+        """Reconstruct the exact base-level alignment of alignment `i`.
+
+        Trace points bound the path to one 126-bp interval at a time, so
+        the exact alignment is recovered with tiny banded NW problems per
+        interval — the reference's ``getExactAlignment``
+        (``dazzler.d:2185-2249``) built on ``findAlignment``
+        (``util/string.d:478``).  `a_codes`/`b_codes` are the full A/B
+        sequences (B on the aligned strand); `a_interval` restricts to a
+        sub-range (snapped outward to trace boundaries).
+
+        Returns (a_begin, b_begin, edit_ops) where edit_ops is a list of
+        ("match"|"sub"|"ins"|"del", a_pos, b_pos) tuples; "ins" consumes
+        B only, "del" consumes A only.
+        """
+        bounds, b_at = self.boundaries_and_b(i)
+        if a_interval is not None:
+            lo_k = int(np.searchsorted(bounds, a_interval[0], side="right")) - 1
+            hi_k = int(np.searchsorted(bounds, a_interval[1], side="left"))
+            lo_k = max(lo_k, 0)
+            hi_k = min(max(hi_k, lo_k + 1), len(bounds) - 1)
+        else:
+            lo_k, hi_k = 0, len(bounds) - 1
+        ops: list[tuple[str, int, int]] = []
+        for k in range(lo_k, hi_k):
+            a0, a1 = int(bounds[k]), int(bounds[k + 1])
+            b0, b1 = int(b_at[k]), int(b_at[k + 1])
+            ops.extend(_nw_ops(a_codes[a0:a1], b_codes[b0:b1], a0, b0))
+        return int(bounds[lo_k]), int(b_at[lo_k]), ops
+
     def check_invariants(self) -> None:
         """Assert trace/coordinate consistency (reference ``invariant``
         blocks, ``base.d:434-457``): interval count matches the 126-bp
@@ -186,6 +217,43 @@ def concat_alignments(sets: list[LocalAlignmentSet]) -> LocalAlignmentSet:
         chain_id=np.concatenate([s.chain_id for s in sets]),
         disabled=np.concatenate([s.disabled for s in sets]),
     )
+
+
+def _nw_ops(a: np.ndarray, b: np.ndarray, a_off: int, b_off: int):
+    """Global NW with unit costs; returns edit ops (small inputs only).
+
+    The per-interval workhorse of :meth:`LocalAlignmentSet.exact_alignment`
+    (reference ``findAlignment``, memory-capped — intervals here are ≤126bp
+    so the full DP matrix is tiny).
+    """
+    n, m = len(a), len(b)
+    D = np.zeros((n + 1, m + 1), dtype=np.int32)
+    D[:, 0] = np.arange(n + 1)
+    D[0, :] = np.arange(m + 1)
+    for ii in range(1, n + 1):
+        sub = D[ii - 1, :-1] + (b != a[ii - 1])
+        up = D[ii - 1, 1:] + 1
+        tmp = np.minimum(sub, up)
+        run = D[ii, 0] = ii
+        for jj in range(1, m + 1):
+            run = min(tmp[jj - 1], run + 1)
+            D[ii, jj] = run
+    ops = []
+    ii, jj = n, m
+    while ii > 0 or jj > 0:
+        if ii > 0 and jj > 0 and D[ii, jj] == D[ii - 1, jj - 1] + (a[ii - 1] != b[jj - 1]):
+            ops.append(("match" if a[ii - 1] == b[jj - 1] else "sub",
+                        a_off + ii - 1, b_off + jj - 1))
+            ii -= 1
+            jj -= 1
+        elif ii > 0 and D[ii, jj] == D[ii - 1, jj] + 1:
+            ops.append(("del", a_off + ii - 1, b_off + jj))
+            ii -= 1
+        else:
+            ops.append(("ins", a_off + ii, b_off + jj - 1))
+            jj -= 1
+    ops.reverse()
+    return ops
 
 
 def _concat_offsets(offset_arrays: list[np.ndarray]) -> np.ndarray:

@@ -117,8 +117,10 @@ def _kernel(num_ref, den_ref, a_ref, b_ref, blen_ref, alen_ref,
                       (r + j) - DIFF_PENALTY * D, -INF)
         row_s = jnp.max(S, axis=1, keepdims=True)
         is_best = S == row_s
-        row_j = jnp.max(jnp.where(is_best, j, -INF), axis=1, keepdims=True)
-        row_d = jnp.min(jnp.where(is_best, D, INF), axis=1, keepdims=True)
+        # first-best tie-break to match the XLA kernel's argmax exactly
+        row_j = jnp.min(jnp.where(is_best, j, INF), axis=1, keepdims=True)
+        row_d = jnp.min(jnp.where(is_best & (j == row_j), D, INF), axis=1,
+                        keepdims=True)
 
         jm = jnp.maximum(jm_scr[:, :], row_j)
         dm = jnp.maximum(dm_scr[:, :], row_d)
@@ -206,7 +208,17 @@ _available: bool | None = None
 
 
 def pallas_available() -> bool:
-    """Probe once whether the Pallas kernel compiles on this backend."""
+    """Probe once whether the Pallas kernel compiles on this backend.
+
+    Opt-in via ``DENTIST_TPU_PALLAS=1``: on the current single-chip
+    setup per-dispatch overhead dominates and the XLA scan kernel is as
+    fast or faster; the Pallas path is kept as the alternative backend
+    (verified numerically identical on TPU).
+    """
+    import os
+
+    if os.environ.get("DENTIST_TPU_PALLAS") != "1":
+        return False
     global _available
     if _available is None:
         try:
