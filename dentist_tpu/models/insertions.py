@@ -15,7 +15,7 @@ kept and the insertion supplies everything beyond it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -23,12 +23,12 @@ model, see :data:`.banded.DIFF_PENALTY`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..io.fasta import reverse_complement
-from ..models.alignments import TRACE_SPACING, LocalAlignmentSet, concat_alignments
+from ..models.alignments import TRACE_SPACING, LocalAlignmentSet
 from ..utils.log import log_json
 from .banded import extend_batch_v2_async
 from .seeding import KmerIndex, SeedCandidate, cluster_seeds

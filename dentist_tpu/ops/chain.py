@@ -27,7 +27,7 @@ vectorized on the host; the heavy per-base work stays on device.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

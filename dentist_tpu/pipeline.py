@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .io.fasta import FastaRecord, codes_to_seq, read_fasta
+from .io.fasta import FastaRecord
 from .models.mask import (
     coverage_mask,
     dust_mask,
