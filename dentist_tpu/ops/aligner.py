@@ -30,7 +30,7 @@ import numpy as np
 from ..io.fasta import reverse_complement
 from ..models.alignments import TRACE_SPACING, LocalAlignmentSet
 from ..utils.log import log_json
-from .banded import extend_batch_v2_async
+from .banded import extend_batch_multi_async
 from .seeding import KmerIndex, SeedCandidate, cluster_seeds
 
 __all__ = ["AlignerConfig", "Aligner", "align_store_pair"]
@@ -66,10 +66,18 @@ def _bucket_for(r: int) -> int:
     return _BUCKETS[-1]
 
 
-#: slope quantization for flush grouping (jobs in one dispatch share a
-#: linear band schedule; 0.02-wide bins keep per-lane deviation ≪ W/2)
-_SLOPE_BIN = 0.02
 _SLOPE_MIN, _SLOPE_MAX = 0.7, 1.4
+#: lane-count sub-buckets: small flushes dispatch with few padded lanes
+#: (3 compiled shapes per window bucket instead of one full-width one)
+_LANE_BUCKETS = (8, 32, 128)
+
+
+def _slope_bin_width(bucket: int, W: int) -> float:
+    """Jobs sharing a flush must deviate ≲ W/4 from its mean slope over
+    the whole window; narrower bins for long windows fragment dispatches,
+    so the width floors at 0.02 (seed-estimated slopes are tight and
+    alignments rarely ride the band edge for the full window)."""
+    return max(0.02, W / (4.0 * bucket))
 
 
 @dataclass
@@ -167,29 +175,50 @@ class Aligner:
                                slope, r_b))
 
     def _enqueue(self, job: _Job):
-        key = (_bucket_for(job.r_valid), int(round(job.slope / _SLOPE_BIN)))
+        key = _bucket_for(job.r_valid)
         self._pending.setdefault(key, []).append(job)
         if len(self._pending[key]) >= self.cfg.batch_size:
             self._flush_group(key)
 
-    def _flush_group(self, key: tuple[int, int]):
-        jobs = self._pending.get(key, [])
-        if not jobs:
+    #: schedules per dispatch (static: one compiled shape per bucket/lanes)
+    _KMAX = 8
+
+    def _flush_group(self, key: int):
+        all_jobs = self._pending.get(key, [])
+        if not all_jobs:
             return
-        self._pending[key] = []
         cfg = self.cfg
         W = cfg.band_width
-        bucket, _slope_bin = key
-        # pad the batch to a fixed lane count: one compilation per bucket
-        # (the slope enters through the traced `offs` array, not the shape)
-        N, R = max(len(jobs), cfg.batch_size), bucket
-        N = -(-N // 8) * 8  # lane-tile multiple (Pallas program width)
+        R = bucket = key
+        bin_w = _slope_bin_width(bucket, W)
+        # group by quantized slope into ≤ KMAX schedules; overflow bins
+        # stay pending for the next flush
+        bins: dict[int, list[_Job]] = {}
+        for j in all_jobs:
+            bins.setdefault(int(round(j.slope / bin_w)), []).append(j)
+        by_size = sorted(bins, key=lambda b: -len(bins[b]))
+        taken = by_size[: self._KMAX]
+        self._pending[key] = [j for b in by_size[self._KMAX :] for j in bins[b]]
+        jobs = [j for b in taken for j in bins[b]]
+        lane_k = np.concatenate([
+            np.full(len(bins[b]), ki, dtype=np.int32) for ki, b in enumerate(taken)
+        ])
+        K = self._KMAX
+        offs_k = np.zeros((R + 1, K), dtype=np.int32)
+        rows = np.arange(R + 1, dtype=np.int64)
+        for ki, b in enumerate(taken):
+            slope = float(np.mean([j.slope for j in bins[b]]))
+            num = int(round(slope * R))
+            offs_k[:, ki] = (rows * num) // R - W // 2
+        for ki in range(len(taken), K):
+            offs_k[:, ki] = offs_k[:, 0]
+
+        # pad to the smallest lane sub-bucket: few compiled shapes, little
+        # padded compute on fragmented flushes
+        N = next((lb for lb in _LANE_BUCKETS if len(jobs) <= lb),
+                 -(-len(jobs) // _LANE_BUCKETS[-1]) * _LANE_BUCKETS[-1])
+        lane_k = np.concatenate([lane_k, np.zeros(N - len(jobs), dtype=np.int32)])
         BW = int(_SLOPE_MAX * R) + 2 * W + 8
-        slope = float(np.mean([j.slope for j in jobs]))
-        # rational schedule (r·num)//den so host and kernels agree exactly
-        num = int(round(slope * R))
-        offs = ((np.arange(R + 1, dtype=np.int64) * num) // R - W // 2).astype(np.int32)
-        b_span = int(offs[-1]) + W  # max B coordinate the band can touch
         a_win = np.zeros((N, R), dtype=np.uint8)
         b_win = np.zeros((N, BW), dtype=np.uint8)
         a_lens = np.zeros(N, dtype=np.int32)
@@ -197,6 +226,7 @@ class Aligner:
         for n, j in enumerate(jobs):
             a_win[n, : j.r_valid] = j.a_chars
             a_lens[n] = j.r_valid
+            b_span = int(offs_k[-1, lane_k[n]]) + W
             b_lens[n] = min(j.b_rem, b_span)
             # B chars for this direction: forward = b_chars[b0:], backward =
             # reversed b_chars[:b0]; columns j+W hold B[j] for j ≥ -W.
@@ -209,18 +239,8 @@ class Aligner:
                 lead = W - min(W, len(j.b_chars) - j.b_anchor)
                 b_win[n, lead : lead + len(rev)] = rev
         # async dispatch: device computes while the host seeds more reads
-        out = None
-        if W % 128 == 0:
-            from .pallas_banded import extend_batch_pallas_async, pallas_available
-
-            if pallas_available():
-                try:
-                    out = extend_batch_pallas_async(a_win, b_win, a_lens, b_lens,
-                                                    offs, W=W)
-                except Exception as exc:
-                    log_json("warn", event="pallasFallback", error=str(exc))
-        if out is None:
-            out = extend_batch_v2_async(a_win, b_win, a_lens, b_lens, offs, W=W)
+        out = extend_batch_multi_async(a_win, b_win, a_lens, b_lens, offs_k,
+                                       lane_k, W=W)
         self._inflight.append((jobs, out))
 
     def _drain(self):
@@ -239,12 +259,20 @@ class Aligner:
     # ------------------------------------------------------------------
     def align_query(self, b_codes: np.ndarray, b_id: int,
                     exclude_identity: bool = False,
-                    strands: tuple = (False, True)):
-        """Enqueue all candidates of one query (both strands by default)."""
+                    strands: tuple = (False, True),
+                    seeds: dict | None = None):
+        """Enqueue all candidates of one query (both strands by default).
+
+        `seeds` optionally supplies precomputed {strand: (a_pos, b_pos)}
+        from a batched lookup.
+        """
         cfg = self.cfg
         for comp in strands:
             q = reverse_complement(b_codes) if comp else b_codes
-            a_pos, b_pos = self.index.lookup(q, max_occ=cfg.max_occ)
+            if seeds is not None and comp in seeds:
+                a_pos, b_pos = seeds[comp]
+            else:
+                a_pos, b_pos = self.index.lookup(q, max_occ=cfg.max_occ)
             cands = cluster_seeds(
                 self.index, a_pos, b_pos, comp,
                 max_gap=cfg.max_seed_gap, min_seeds=cfg.min_seeds,
@@ -253,6 +281,20 @@ class Aligner:
             )
             for cand in cands:
                 self._make_jobs(cand, q, b_id)
+
+    def align_queries(self, queries: list[np.ndarray], ids: list[int],
+                      exclude_identity: bool = False, chunk: int = 32):
+        """Batched enqueue: chunked two-strand lookups amortize host cost."""
+        cfg = self.cfg
+        for c0 in range(0, len(queries), chunk):
+            qs = queries[c0 : c0 + chunk]
+            qids = ids[c0 : c0 + chunk]
+            fwd = self.index.lookup_batch(qs, max_occ=cfg.max_occ)
+            rcs = [reverse_complement(q) for q in qs]
+            rev = self.index.lookup_batch(rcs, max_occ=cfg.max_occ)
+            for q, qid, sf, sr in zip(qs, qids, fwd, rev):
+                self.align_query(q, qid, exclude_identity=exclude_identity,
+                                 seeds={False: sf, True: sr})
 
     def finish(self) -> LocalAlignmentSet:
         """Flush pending jobs and assemble the alignment set."""
@@ -433,9 +475,8 @@ def align_store_pair(
                       mask_intervals=mask_intervals)
     aligner = Aligner(index, target_codes, cfg)
     ids = query_ids or list(range(1, len(queries) + 1))
-    for q, qid in zip(queries, ids):
-        aligner.align_query(np.asarray(q, dtype=np.uint8), qid,
-                            exclude_identity=self_alignment)
+    aligner.align_queries([np.asarray(q, dtype=np.uint8) for q in queries], ids,
+                          exclude_identity=self_alignment)
     las = aligner.finish()
     log_json("diagnostic", event="alignStorePair", nQueries=len(queries),
              nAlignments=len(las))

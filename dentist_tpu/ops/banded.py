@@ -42,6 +42,101 @@ INF = np.int32(1 << 28)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
+def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len, W: int):
+    """Multi-schedule variant of :func:`_extend_scan_v2`.
+
+    ``offs_k`` is (R+1, K): K linear band schedules per flush; ``lane_k``
+    (N,) picks each lane's schedule.  One dispatch serves every slope
+    group of a window bucket — K scalar-start dynamic slices per row plus
+    per-lane selects replace K separate (fragmented, padded) dispatches.
+    """
+    a_chars = a_chars.astype(jnp.int32)
+    b_win = b_win.astype(jnp.int32)
+    R, N = a_chars.shape
+    K = offs_k.shape[1]
+    BW = b_win.shape[1]
+    p = jnp.arange(W, dtype=jnp.int32)
+    lane_k = lane_k.astype(jnp.int32)
+
+    off0 = offs_k[0][lane_k]  # (N,)
+    j0 = off0[:, None] + p[None, :]
+    D0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), j0, INF).astype(jnp.int32)
+
+    def body(carry, xs):
+        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
+        a_ch, off_prev_k, off_cur_k, r = xs
+        off_cur = off_cur_k[lane_k][:, None]  # (N,1)
+        s = off_cur - off_prev_k[lane_k][:, None]  # (N,1) in {0,1,2}
+        inf_col = jnp.full((N, 1), INF, jnp.int32)
+        sh0 = D_prev
+        sh1 = jnp.concatenate([D_prev[:, 1:], inf_col], axis=1)
+        sh2 = jnp.concatenate([D_prev[:, 2:], inf_col, inf_col], axis=1)
+        E = jnp.where(s == 0, sh0, jnp.where(s == 1, sh1, sh2))
+        shm1 = jnp.concatenate([inf_col, D_prev[:, :-1]], axis=1)
+        E1 = jnp.where(s == 0, shm1, jnp.where(s == 1, sh0, sh1))
+
+        j = off_cur + p[None, :]
+        b_ch = jnp.zeros((N, W), dtype=jnp.int32)
+        for k in range(K):  # K scalar-start slices, selected per lane
+            blk = jax.lax.dynamic_slice(b_win, (0, off_cur_k[k] - 1 + W), (N, W))
+            b_ch = jnp.where((lane_k == k)[:, None], blk, b_ch)
+        sub = (a_ch[:, None] != b_ch).astype(jnp.int32)
+
+        diag = jnp.where(j >= 1, E1 + sub, INF)
+        tmp = jnp.minimum(diag, E + 1)
+        valid = (j >= 0) & (j <= b_len[:, None])
+        tmp = jnp.where(valid, tmp, INF)
+        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
+        D = jnp.minimum(tmp, closed + p[None, :])
+        D = jnp.where(valid, jnp.minimum(D, INF), INF)
+
+        S = jnp.where(
+            valid & (D < INF) & (r <= a_len)[..., None],
+            (r + j) - DIFF_PENALTY * D,
+            -INF,
+        )
+        row_s = S.max(axis=1)
+        best_p = jnp.argmax(S, axis=1)
+        row_j = off_cur[:, 0] + best_p
+        row_d = jnp.where(S == row_s[:, None], D, INF).min(axis=1)
+        jm = jnp.maximum(jm, row_j)
+        dm = jnp.maximum(dm, row_d)
+        better = row_s > best_s
+        best_s = jnp.where(better, row_s, best_s)
+        best_r = jnp.where(better, r, best_r)
+        best_j = jnp.where(better, jm, best_j)
+        best_d = jnp.where(better, dm, best_d)
+        return (D, jm, dm, best_s, best_r, best_j, best_d), (jm, dm)
+
+    rows = jnp.arange(1, R + 1, dtype=jnp.int32)
+    xs = (a_chars, offs_k[:-1], offs_k[1:], rows)
+    zero = jnp.zeros((N,), dtype=jnp.int32)
+    init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
+    (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
+        body, init, xs, unroll=2)
+
+    from ..models.alignments import TRACE_SPACING
+
+    trace_j = jm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
+    trace_d = dm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
+    return best_r, best_j, best_d, best_s, trace_j, trace_d
+
+
+def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
+                             W: int = 256):
+    """Dispatch the multi-schedule extension (see ``_extend_scan_v3``)."""
+    return _extend_scan_v3(
+        jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
+        jnp.asarray(b_win, dtype=jnp.uint8),
+        jnp.asarray(b_len, dtype=jnp.int32),
+        jnp.asarray(offs_k, dtype=jnp.int32),
+        jnp.asarray(lane_k, dtype=jnp.int32),
+        jnp.asarray(a_len, dtype=jnp.int32),
+        W=W,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
 def _extend_scan_v2(a_chars, b_win, b_len, offs, a_len, W: int):
     """Gather-free banded extension: shared band schedule across lanes.
 
@@ -115,8 +210,10 @@ def _extend_scan_v2(a_chars, b_win, b_len, offs, a_len, W: int):
     xs = (a_chars, offs[:-1], offs[1:], rows)
     zero = jnp.zeros((N,), dtype=jnp.int32)
     init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
+    # modest unroll: per-iteration while-loop overhead vs compile time
+    # (aggressive unrolling blows up Mosaic compile latency)
     (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
-        body, init, xs)
+        body, init, xs, unroll=2)
 
     from ..models.alignments import TRACE_SPACING
 

@@ -141,23 +141,40 @@ class KmerIndex:
 
         Returns (a_pos global, b_pos in query) int64 arrays.
         """
-        qk = kmer_codes(query_codes, self.k)
-        if len(qk) == 0 or len(self.sorted_kmers) == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return self.lookup_batch([query_codes], max_occ)[0]
+
+    def lookup_batch(self, queries: list[np.ndarray], max_occ: int = 32):
+        """Batched :meth:`lookup`: one vectorized pass over all queries.
+
+        Amortizes the per-call overhead of k-mer encoding and the bucket
+        scan across a chunk of reads (the host-side seeding hot spot).
+        """
+        if len(self.sorted_kmers) == 0:
+            return [(np.empty(0, np.int64), np.empty(0, np.int64)) for _ in queries]
+        kms = [kmer_codes(q, self.k) for q in queries]
+        lens = np.array([len(k) for k in kms], dtype=np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        if bounds[-1] == 0:
+            return [(np.empty(0, np.int64), np.empty(0, np.int64)) for _ in queries]
+        qk = np.concatenate([k for k in kms if len(k)])
         start, occ = self._lookup_ranges(qk)
         use = (occ > 0) & (occ <= max_occ)
-        lo, occ = start[use], occ[use]
-        bpos = np.flatnonzero(use)
-        # expand: for each query kmer, its occ index positions
-        total = int(occ.sum())
+        lo, occ_u = start[use], occ[use]
+        flat_bpos = np.flatnonzero(use)
+        total = int(occ_u.sum())
         if total == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        rep_b = np.repeat(bpos, occ)
-        # index into sorted_pos: lo[i] + (0..occ[i]-1)
-        starts = np.repeat(lo, occ)
-        within = np.arange(total) - np.repeat(np.cumsum(occ) - occ, occ)
+            return [(np.empty(0, np.int64), np.empty(0, np.int64)) for _ in queries]
+        rep_flat = np.repeat(flat_bpos, occ_u)
+        starts = np.repeat(lo, occ_u)
+        within = np.arange(total) - np.repeat(np.cumsum(occ_u) - occ_u, occ_u)
         a_pos = self.sorted_pos[starts + within]
-        return a_pos, rep_b.astype(np.int64)
+        # split per query: rep_flat is nondecreasing
+        cut = np.searchsorted(rep_flat, bounds)
+        out = []
+        for qi in range(len(queries)):
+            s, e = cut[qi], cut[qi + 1]
+            out.append((a_pos[s:e], (rep_flat[s:e] - bounds[qi]).astype(np.int64)))
+        return out
 
 
 @dataclass
