@@ -54,7 +54,10 @@ class AlignerConfig:
     min_length: int = 500
     #: maximum error rate 2*diffs/(a_len+b_len) — daligner 1-e
     max_error: float = 0.32
-    batch_size: int = 64  # jobs per bucket flush
+    batch_size: int = 128  # jobs per bucket flush (fewer, larger dispatches)
+    #: sample every Nth query k-mer during seeding (2 halves host seeding
+    #: cost; sensitivity unaffected at ≥500bp alignments)
+    query_stride: int = 2
     #: overlap fraction (A and B) above which two LAs are duplicates
     dedup_overlap: float = 0.5
 
@@ -203,7 +206,11 @@ class Aligner:
         lane_k = np.concatenate([
             np.full(len(bins[b]), ki, dtype=np.int32) for ki, b in enumerate(taken)
         ])
-        K = self._KMAX
+        # K padded to a power of two matching the populated groups: the
+        # kernel pays K dynamic slices per row, so don't pay for empty ones
+        K = 1
+        while K < len(taken):
+            K *= 2
         offs_k = np.zeros((R + 1, K), dtype=np.int32)
         rows = np.arange(R + 1, dtype=np.int64)
         for ki, b in enumerate(taken):
@@ -289,9 +296,11 @@ class Aligner:
         for c0 in range(0, len(queries), chunk):
             qs = queries[c0 : c0 + chunk]
             qids = ids[c0 : c0 + chunk]
-            fwd = self.index.lookup_batch(qs, max_occ=cfg.max_occ)
+            fwd = self.index.lookup_batch(qs, max_occ=cfg.max_occ,
+                                          stride=cfg.query_stride)
             rcs = [reverse_complement(q) for q in qs]
-            rev = self.index.lookup_batch(rcs, max_occ=cfg.max_occ)
+            rev = self.index.lookup_batch(rcs, max_occ=cfg.max_occ,
+                                          stride=cfg.query_stride)
             for q, qid, sf, sr in zip(qs, qids, fwd, rev):
                 self.align_query(q, qid, exclude_identity=exclude_identity,
                                  seeds={False: sf, True: sr})

@@ -461,13 +461,15 @@ def _window_gains(template, candidates, reads_arr, jpath, HALF, W_score: int = 1
     RW = 2 * HALF + 4 * W_score  # read segment bound between anchors
     gains = np.zeros(len(candidates), dtype=np.int64)
 
-    for c0 in range(0, len(candidates), _V_CHUNK):
-        chunk = candidates[c0 : c0 + _V_CHUNK]
+    half_v = _V_CHUNK // 2
+    for c0 in range(0, len(candidates), half_v):
+        chunk = candidates[c0 : c0 + half_v]
+        # one dispatch scores base and edited windows together (lanes
+        # k = base, k + half_v = edit) — the tunnel round trip per
+        # dispatch dominates polish cost
         V = _V_CHUNK
-        tpl_base = np.zeros((V, TW), dtype=np.int32)
-        tpl_edit = np.zeros((V, TW), dtype=np.int32)
-        t_len_base = np.zeros(V, dtype=np.int32)
-        t_len_edit = np.zeros(V, dtype=np.int32)
+        tpl = np.zeros((V, TW), dtype=np.int32)
+        t_len = np.zeros(V, dtype=np.int32)
         rwin = np.zeros((V, NB, RW), dtype=np.int32)
         rwin_len = np.zeros((V, NB), dtype=np.int32)
         covered = np.zeros((V, NB), dtype=bool)
@@ -479,10 +481,10 @@ def _window_gains(template, candidates, reads_arr, jpath, HALF, W_score: int = 1
                 ewin = np.delete(win, pos - lo)
             else:
                 ewin = np.insert(win, pos - lo, base)
-            tpl_base[k, : len(win)] = win
-            t_len_base[k] = len(win)
-            tpl_edit[k, : len(ewin)] = ewin
-            t_len_edit[k] = len(ewin)
+            tpl[k, : len(win)] = win
+            t_len[k] = len(win)
+            tpl[k + half_v, : len(ewin)] = ewin
+            t_len[k + half_v] = len(ewin)
             for n in range(N):
                 jlo, jhi = int(jpath[n, lo]), int(jpath[n, hi])
                 if jlo < 0 or jhi < 0 or jhi <= jlo or jhi - jlo > RW:
@@ -491,17 +493,17 @@ def _window_gains(template, candidates, reads_arr, jpath, HALF, W_score: int = 1
                 rwin[k, n, : len(seg)] = seg
                 rwin_len[k, n] = len(seg)
                 covered[k, n] = True
-        db = np.asarray(_banded_nw_dist(
-            jnp.asarray(tpl_base), jnp.asarray(t_len_base), jnp.asarray(rwin),
+        rwin[half_v : half_v + len(chunk)] = rwin[: len(chunk)]
+        rwin_len[half_v : half_v + len(chunk)] = rwin_len[: len(chunk)]
+        d = np.asarray(_banded_nw_dist(
+            jnp.asarray(tpl), jnp.asarray(t_len), jnp.asarray(rwin),
             jnp.asarray(rwin_len), T=TW, W=W_score, global_ends=True,
         ))
-        de = np.asarray(_banded_nw_dist(
-            jnp.asarray(tpl_edit), jnp.asarray(t_len_edit), jnp.asarray(rwin),
-            jnp.asarray(rwin_len), T=TW, W=W_score, global_ends=True,
-        ))
-        ok = covered & (db < _INF) & (de < _INF)
+        db = d[: len(chunk)]
+        de = d[half_v : half_v + len(chunk)]
+        ok = covered[: len(chunk)] & (db < _INF) & (de < _INF)
         diff = np.where(ok, db - de, 0).sum(axis=1)
-        gains[c0 : c0 + len(chunk)] = diff[: len(chunk)]
+        gains[c0 : c0 + len(chunk)] = diff
     return gains
 
 

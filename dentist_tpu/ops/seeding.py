@@ -115,21 +115,30 @@ class KmerIndex:
             count = np.where(found, self.unique_start[lo + 1] - start, 0)
             return start, count
         total_bits = 2 * self.k
-        b = (qk >> (total_bits - self._bucket_bits)).astype(np.int64)
+        # sort queries by k-mer so bucket-table gathers walk memory in
+        # order (at 100 Mb+ index sizes the tables exceed cache and random
+        # gathers become latency-bound)
+        order = np.argsort(qk, kind="stable")
+        qs = qk[order]
+        b = (qs >> (total_bits - self._bucket_bits)).astype(np.int64)
         lo_u = self._bucket_start[b]
         hi_u = self._bucket_start[b + 1]
-        u_idx = np.full(len(qk), -1, dtype=np.int64)
         U = len(self.unique_kmers)
+        u_idx = np.zeros(len(qs), dtype=np.int64)
+        found = np.zeros(len(qs), dtype=bool)
         for t in range(self._low_span):
             cand = lo_u + t
-            ok = (cand < hi_u)
+            ok = cand < hi_u
             safe = np.minimum(cand, U - 1)
-            hit = ok & (self.unique_kmers[safe] == qk)
+            hit = ok & (self.unique_kmers[safe] == qs) & ~found
             u_idx = np.where(hit, cand, u_idx)
-        found = u_idx >= 0
-        safe_u = np.maximum(u_idx, 0)
-        start = self.unique_start[safe_u]
-        count = np.where(found, self.unique_start[safe_u + 1] - start, 0)
+            found |= hit
+        start_s = self.unique_start[u_idx]
+        count_s = np.where(found, self.unique_start[u_idx + 1] - start_s, 0)
+        start = np.empty_like(start_s)
+        count = np.empty_like(count_s)
+        start[order] = start_s
+        count[order] = count_s
         return start, count
 
     def seq_id_of(self, global_pos: np.ndarray) -> np.ndarray:
@@ -143,15 +152,19 @@ class KmerIndex:
         """
         return self.lookup_batch([query_codes], max_occ)[0]
 
-    def lookup_batch(self, queries: list[np.ndarray], max_occ: int = 32):
+    def lookup_batch(self, queries: list[np.ndarray], max_occ: int = 32,
+                     stride: int = 1):
         """Batched :meth:`lookup`: one vectorized pass over all queries.
 
         Amortizes the per-call overhead of k-mer encoding and the bucket
         scan across a chunk of reads (the host-side seeding hot spot).
+        `stride` samples every stride-th query k-mer — at ≥500 bp minimum
+        alignment length and ≤30 % error, stride 2 keeps seeds every
+        ~50-100 bp while halving lookup and clustering work.
         """
         if len(self.sorted_kmers) == 0:
             return [(np.empty(0, np.int64), np.empty(0, np.int64)) for _ in queries]
-        kms = [kmer_codes(q, self.k) for q in queries]
+        kms = [kmer_codes(q, self.k)[::stride] for q in queries]
         lens = np.array([len(k) for k in kms], dtype=np.int64)
         bounds = np.concatenate([[0], np.cumsum(lens)])
         if bounds[-1] == 0:
@@ -173,7 +186,8 @@ class KmerIndex:
         out = []
         for qi in range(len(queries)):
             s, e = cut[qi], cut[qi + 1]
-            out.append((a_pos[s:e], (rep_flat[s:e] - bounds[qi]).astype(np.int64)))
+            bpos = (rep_flat[s:e] - bounds[qi]).astype(np.int64) * stride
+            out.append((a_pos[s:e], bpos))
         return out
 
 

@@ -85,6 +85,7 @@ def run_pipeline(assembly_path, reads_path, out_path, cfg: PipelineConfig | None
     return result
 
 
+@trace_execution
 def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
     """Stages 1-3: dust, tandem, self-repeat, reads-repeat, homogenized."""
     c, o, l = contigs.codes, contigs.offsets, contigs.lengths
@@ -104,15 +105,28 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
     )
     _, hi_reads = repeat_coverage_bounds_reads(cfg.read_coverage)
     reads_mask = coverage_mask(pack_chain_intervals(las), l, 0, hi_reads)
-    repeats = repeats | reads_mask
+    # improper-coverage mask: regions where chains that do NOT properly
+    # reach a sequence end pile up (maskRepetitiveRegions.d improperOnly)
+    read_lengths = np.array([len(r) for r in read_list], dtype=np.int64)
+    improper_iv = []
+    for ch in chains:
+        a_len = int(l[ch.a_id - 1])
+        b_len_ = int(read_lengths[ch.b_id - 1])
+        if not ch.is_proper(las, a_len, b_len_):
+            ab, ae, _, _ = ch.first_last(las)
+            improper_iv.append((ch.a_id, ab, ae))
+    _, hi_improper = repeat_coverage_bounds_improper(cfg.read_coverage)
+    improper_mask = coverage_mask(
+        np.array(improper_iv, dtype=np.int64).reshape(-1, 3), l, 0, hi_improper)
+    repeats = repeats | reads_mask | improper_mask
 
     # homogenization round trip (mask-H): assembly → reads → assembly
-    read_lengths = np.array([len(r) for r in read_list], dtype=np.int64)
     on_reads = propagate_mask(repeats, las, read_lengths)
     homogenized = repeats | propagate_mask_b_to_a(on_reads, las, l, read_lengths)
     return dust, repeats, homogenized, las, chains
 
 
+@trace_execution
 def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConfig):
     dust, repeats, homogenized, las, chains = masks_for(contigs, read_list, cfg)
 
@@ -143,6 +157,7 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
     return result
 
 
+@trace_execution
 def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
     """Re-map reads to the preliminary assembly and validate closed gaps.
 
