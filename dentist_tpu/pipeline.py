@@ -129,6 +129,8 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
 @trace_execution
 def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConfig):
     dust, repeats, homogenized, las, chains = masks_for(contigs, read_list, cfg)
+    _checkpoint(cfg, masks={"dust": dust, "repeats": repeats,
+                            "repeats-H": homogenized}, las=(las, chains))
 
     ctx = ChainCtx(las, chains, contigs.lengths, reads.lengths)
     collect_cfg = CollectConfig(
@@ -137,11 +139,13 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
     )
     pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized, collect_cfg,
                                 contigs=contigs, reads=reads)
+    _checkpoint(cfg, pile_ups=pile_ups)
     insertions = process_pile_ups(
         pile_ups, ctx, contigs, reads, homogenized,
         ProcessConfig(allow_single_reads=cfg.allow_single_reads,
                       max_insertion_error=cfg.max_insertion_error),
     )
+    _checkpoint(cfg, insertions=insertions)
     out_cfg = OutputConfig(join_policy=cfg.join_policy,
                            max_insertion_error=cfg.max_insertion_error)
     result = build_output(contigs, structure, insertions, out_cfg)
@@ -214,6 +218,28 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
                      numSpanning=r.n_spanning, weakWindows=len(r.weak_windows))
             skip.add(tuple(sorted(r.contig_ids)))
     return skip
+
+
+def _checkpoint(cfg: PipelineConfig, masks=None, las=None, pile_ups=None,
+                insertions=None):
+    """Persist stage artifacts to ``cfg.workdir`` (the reference's
+    filesystem-is-the-checkpoint model, SURVEY §5) in the framework's
+    container formats — inspectable with the ``show-*`` commands and
+    reusable by the staged CLI path."""
+    if not cfg.workdir:
+        return
+    from .io.store import save_alignments, save_insertions, save_mask, save_pile_ups
+
+    os.makedirs(cfg.workdir, exist_ok=True)
+    if masks:
+        for name, region in masks.items():
+            save_mask(os.path.join(cfg.workdir, f"{name}.mask.npz"), region)
+    if las:
+        save_alignments(os.path.join(cfg.workdir, "reads.las.npz"), las[0], las[1])
+    if pile_ups is not None:
+        save_pile_ups(os.path.join(cfg.workdir, "pile-ups.npz"), pile_ups)
+    if insertions is not None:
+        save_insertions(os.path.join(cfg.workdir, "insertions.npz"), insertions)
 
 
 def _str_codes(s: str) -> np.ndarray:
