@@ -197,10 +197,28 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
     if regions.empty:
         return set()
 
-    p_dust = dust_mask(prelim.codes, prelim.offsets, prelim.lengths)
-    p_tan = tandem_mask(prelim.codes, prelim.offsets, prelim.lengths)
+    # Re-map against gap-region *sub-stores* instead of the whole
+    # preliminary assembly: validation only needs local coverage and
+    # spanning evidence around each closed gap, and most reads (no
+    # seeds in the sub-index) are rejected at the lookup stage.
+    pad = 25_000
+    sub_seqs, sub_regions, sub_region_ids = [], [], {}
+    for (cid, b, e), pair in [((int(t), int(bb), int(ee)), region_ids.get((int(t), int(bb), int(ee))))
+                              for t, bb, ee in regions.iv]:
+        contig_seq = prelim.get(cid)
+        lo = max(0, b - pad)
+        hi = min(len(contig_seq), e + pad)
+        sub_seqs.append(contig_seq[lo:hi])
+        sid = len(sub_seqs)  # 1-based sub-contig id
+        sub_regions.append((sid, b - lo, e - lo))
+        sub_region_ids[(sid, b - lo, e - lo)] = pair
+    sub_lens = np.array([len(s) for s in sub_seqs], dtype=np.int64)
+    sub_offs = np.concatenate([[0], np.cumsum(sub_lens)])[:-1]
+    sub_codes = np.concatenate(sub_seqs)
+    p_dust = dust_mask(sub_codes, sub_offs, sub_lens)
+    p_tan = tandem_mask(sub_codes, sub_offs, sub_lens)
     p_las, p_chains = map_reads(
-        prelim.codes, prelim.offsets, prelim.lengths, read_list,
+        sub_codes, sub_offs, sub_lens, read_list,
         config=MapperConfig(), mask_intervals=(p_dust | p_tan).iv,
     )
     vcfg = ValidateConfig(
@@ -208,8 +226,8 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
         min_spanning_reads=cfg.min_spanning_reads,
     )
     reports, _weak = validate_regions(
-        p_las, p_chains, regions, prelim.lengths, reads.lengths, vcfg,
-        region_contig_ids=region_ids,
+        p_las, p_chains, Region.from_triples(sub_regions), sub_lens,
+        reads.lengths, vcfg, region_contig_ids=sub_region_ids,
     )
     skip = set()
     for r in reports:
