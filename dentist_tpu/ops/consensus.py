@@ -588,16 +588,17 @@ def consensus(reads: list[np.ndarray], rounds: int = 3, W: int = 128,
 
     if polish and len(template):
         polished = _polish(template, reads, W)
-        if len(polished) != len(template) or not np.array_equal(polished, template):
+        changed = len(polished) != len(template) or not np.array_equal(polished, template)
+        if changed:
+            # refresh per-read stats against the polished template
             template = polished
-        # refresh per-read stats against the final template
-        _template_cache = template
-        moves, last_row, d_at_jend, read_lens, centers = align_to_template(
-            template, reads, W=W, jpath_prev=jpath_prev)
-        _, _, spans, diffs, win_diffs, _ = _traceback_and_vote(
-            len(template), moves, last_row, d_at_jend, read_lens, W, centers
-        )
-        result_stats = (spans, diffs, win_diffs, None)
+            _template_cache = template
+            moves, last_row, d_at_jend, read_lens, centers = align_to_template(
+                template, reads, W=W, jpath_prev=jpath_prev)
+            _, _, spans, diffs, win_diffs, _ = _traceback_and_vote(
+                len(template), moves, last_row, d_at_jend, read_lens, W, centers
+            )
+            result_stats = (spans, diffs, win_diffs, None)
 
     spans, diffs, win_diffs, col_votes = result_stats
     # per-window coverage on the final template grid
