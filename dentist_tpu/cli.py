@@ -313,8 +313,10 @@ def cmd_collect(args):
         best_pileup_margin=args.best_pile_up_margin,
         existing_gap_bonus=args.existing_gap_bonus,
         min_spanning_reads=args.min_spanning_reads,
+        debug_pile_ups_stem=args.debug_pile_ups,
     )
-    pile_ups = collect_pile_ups(ctx, structure.gaps, repeats, cfg)
+    pile_ups = collect_pile_ups(ctx, structure.gaps, repeats, cfg,
+                                contigs=store, reads=reads)
     save_pile_ups(args.out_pile_ups, pile_ups)
 
 
@@ -684,7 +686,8 @@ def build_parser() -> argparse.ArgumentParser:
         A("--mask", nargs="*"), A("--min-anchor-length", type=int, default=500),
         A("--best-pile-up-margin", type=float, default=3.0),
         A("--existing-gap-bonus", type=float, default=6.0),
-        A("--min-spanning-reads", type=int, default=3))
+        A("--min-spanning-reads", type=int, default=3),
+        A("--debug-pile-ups", help="dump pile-ups after each sub-stage to <stem>.<stage>.npz"))
     add("show-pile-ups", A("pile_ups"), A("--json", "-j", action="store_true"))
     add("process-pile-ups", A("assembly"), A("reads"), A("alignments"),
         A("pile_ups"), A("out_insertions"), A("--mask", nargs="*"),

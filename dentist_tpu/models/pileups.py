@@ -64,6 +64,9 @@ class CollectConfig:
     #: bubble resolution (skipped short contigs): max cycle size / passes
     max_bubble_size: int = 12
     max_bubble_resolver_iterations: int = 5
+    #: dump pile-ups after each collect sub-stage to <stem>.<stage>.npz
+    #: (reference ``--debug-pile-ups``, ``pileups.d:459-483``)
+    debug_pile_ups_stem: str | None = None
 
 
 # ----------------------------------------------------------------------
@@ -427,25 +430,45 @@ def collect_pile_ups(
 
     graph = ScaffoldGraph.build(len(ctx.contig_lengths), joins, _merge_joins)
     _remove_none_joins(graph)
+    _debug_dump(graph, cfg, "raw")
 
     if contigs is not None and reads is not None:
         for _ in range(cfg.max_bubble_resolver_iterations):
             if _resolve_bubbles(graph, ctx, contigs, reads, cfg) == 0:
                 break
+        _debug_dump(graph, cfg, "resolvedBubbles")
 
     _discard_ambiguous_joins(graph, cfg.best_pileup_margin, cfg.existing_gap_bonus)
+    _debug_dump(graph, cfg, "unambiguous")
     _enforce_min_spanning_reads(graph, cfg.min_spanning_reads)
+    _debug_dump(graph, cfg, "minSpanningEnforced")
     _remove_input_gaps(graph)
+    _debug_dump(graph, cfg, "inputGapsRemoved")
     if cfg.merge_extensions:
         _merge_extensions_with_gaps(graph)
+        _debug_dump(graph, cfg, "extensionsMerged")
 
-    pile_ups = []
-    for join in sorted(graph.joins(), key=lambda j: j.key):
-        p = join.payload
-        if isinstance(p, ScaffoldPayload) and p.is_pile_up and p.read_alignments:
-            pile_ups.append(p.read_alignments)
+    pile_ups = _graph_pile_ups(graph)
     log_json("info", event="collectPileUps", numPileUps=len(pile_ups))
     return pile_ups
+
+
+def _graph_pile_ups(g: ScaffoldGraph) -> list[list[ReadAlignmentRep]]:
+    out = []
+    for join in sorted(g.joins(), key=lambda j: j.key):
+        p = join.payload
+        if isinstance(p, ScaffoldPayload) and p.is_pile_up and p.read_alignments:
+            out.append(p.read_alignments)
+    return out
+
+
+def _debug_dump(g: ScaffoldGraph, cfg: CollectConfig, stage: str) -> None:
+    """``--debug-pile-ups`` stage dumps (``pileups.d:459-483``)."""
+    if not cfg.debug_pile_ups_stem:
+        return
+    from ..io.store import save_pile_ups
+
+    save_pile_ups(f"{cfg.debug_pile_ups_stem}.{stage}.npz", _graph_pile_ups(g))
 
 
 def _discard_ambiguous_joins(g: ScaffoldGraph, margin: float, gap_bonus: float) -> None:
