@@ -44,9 +44,30 @@ _HEAD = struct.Struct("<iiiiiiIii4x")  # 40 bytes after the trace pointer
 def write_las(path, las: LocalAlignmentSet, trace_spacing: int = TRACE_SPACING):
     large = trace_spacing > 125
     trace_dtype = np.dtype("<u2") if large else np.dtype("<u1")
+    # Emit chains contiguously: canonical sort order can interleave LAs of
+    # different chains of the same (a, b) pair, and the reference reader
+    # (dazzler.d:1744-1747) treats chainStart without bestChain as an
+    # *alternate* chain.  All chains stored here are selected winners, so the
+    # first member of each chain carries chainStart|bestChain and subsequent
+    # members chainContinuation, regardless of original row adjacency.
+    order: list[int] = []
+    emitted_chains: set[int] = set()
+    chain_members: dict[int, list[int]] = {}
+    for i in range(len(las)):
+        cid = int(las.chain_id[i])
+        if cid >= 0:
+            chain_members.setdefault(cid, []).append(i)
+    for i in range(len(las)):
+        cid = int(las.chain_id[i])
+        if cid < 0:
+            order.append(i)
+        elif cid not in emitted_chains:
+            emitted_chains.add(cid)
+            order.extend(chain_members[cid])
     with open(path, "wb") as fh:
         fh.write(struct.pack("<qi", len(las), trace_spacing))
-        for i in range(len(las)):
+        prev_cid = -2
+        for i in order:
             td, tb = las.trace(i)
             tlen = 2 * len(td)
             flags = 0
@@ -56,9 +77,11 @@ def write_las(path, las: LocalAlignmentSet, trace_spacing: int = TRACE_SPACING):
                 flags |= LAS_FLAGS["disabled"]
             cid = int(las.chain_id[i])
             if cid >= 0:
-                prev = int(las.chain_id[i - 1]) if i > 0 else -2
-                flags |= (LAS_FLAGS["chain_continuation"] if prev == cid
-                          else LAS_FLAGS["chain_start"])
+                if cid == prev_cid:
+                    flags |= LAS_FLAGS["chain_continuation"]
+                else:
+                    flags |= LAS_FLAGS["chain_start"] | LAS_FLAGS["best_chain"]
+            prev_cid = cid
             fh.write(_HEAD.pack(
                 tlen, int(las.diffs[i]),
                 int(las.a_begin[i]), int(las.b_begin[i]),

@@ -108,7 +108,9 @@ class SuffixArrayIndex:
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
-    """4 bases per byte (Dazzler ``.bps`` layout)."""
+    """4 bases per byte, first base in the HIGH bits of each byte — the
+    Dazzler ``.bps`` layout (DAZZ_DB ``Compress_Read``), so packed arrays
+    diff cleanly against reference-produced ``.bps`` files."""
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     lib = _load()
     out = np.zeros((len(codes) + 3) // 4, dtype=np.uint8)
@@ -116,9 +118,9 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
         lib.dentist_pack_2bit(codes.ctypes.data_as(ctypes.c_char_p), len(codes),
                               out.ctypes.data_as(ctypes.c_char_p))
         return out
-    for shift in range(4):
-        part = codes[shift::4] & 0x3
-        out[: len(part)] |= part << (2 * shift)
+    for lane in range(4):
+        part = codes[lane::4] & 0x3
+        out[: len(part)] |= part << (2 * (3 - lane))
     return out
 
 
@@ -130,8 +132,8 @@ def unpack_2bit(packed: np.ndarray, n: int) -> np.ndarray:
         lib.dentist_unpack_2bit(packed.ctypes.data_as(ctypes.c_char_p), n,
                                 out.ctypes.data_as(ctypes.c_char_p))
         return out
-    for shift in range(4):
-        vals = (packed >> (2 * shift)) & 0x3
-        take = len(out[shift::4])
-        out[shift::4] = vals[:take]
+    for lane in range(4):
+        vals = (packed >> (2 * (3 - lane))) & 0x3
+        take = len(out[lane::4])
+        out[lane::4] = vals[:take]
     return out

@@ -111,10 +111,14 @@ class Aligner:
     """Aligns query sequences against an indexed target store."""
 
     def __init__(self, index: KmerIndex, target_codes: np.ndarray,
-                 config: AlignerConfig | None = None):
+                 config: AlignerConfig | None = None, mesh=None):
         self.index = index
         self.target_codes = target_codes
         self.cfg = config or AlignerConfig()
+        #: jax.sharding.Mesh (or None): >1 device runs every flush
+        #: data-parallel over the mesh's ``dp`` axis with allgathered
+        #: outputs (SURVEY §2.4 block data-parallelism)
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         #: pending jobs keyed by (bucket, slope_bin)
         self._pending: dict[tuple[int, int], list[_Job]] = {}
         self._inflight: list[tuple[list[_Job], tuple]] = []  # async dispatches
@@ -306,9 +310,15 @@ class Aligner:
                                  seeds={False: sf, True: sr})
 
     def finish(self) -> LocalAlignmentSet:
-        """Flush pending jobs and assemble the alignment set."""
+        """Flush pending jobs and assemble the alignment set.
+
+        ``_flush_group`` dispatches at most ``_KMAX`` slope bins per call and
+        returns the overflow to ``_pending``, so flush each bucket until it
+        is empty — otherwise overflow-bin jobs would be silently dropped.
+        """
         for key in sorted(self._pending):
-            self._flush_group(key)
+            while self._pending.get(key):
+                self._flush_group(key)
         self._drain()
         las = _assemble(self._cands, self.cfg)
         self._cands = []

@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["extend_batch", "DIFF_PENALTY", "INF"]
+__all__ = ["extend_batch", "extend_batch_multi_async", "sharded_extend_v3",
+           "DIFF_PENALTY", "INF"]
 
 DIFF_PENALTY = 6  # score = advance - 6*diffs → break-even at ~33% error
 INF = np.int32(1 << 28)
@@ -122,18 +123,68 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len, W: int):
     return best_r, best_j, best_d, best_s, trace_j, trace_d
 
 
+#: compiled sharded kernels keyed by (mesh devices, W) — shard_map closures
+#: capture the mesh, so reuse them across flushes
+_SHARDED_V3_CACHE: dict = {}
+
+
+def sharded_extend_v3(mesh, W: int):
+    """The production extension kernel under ``shard_map`` over ``mesh``.
+
+    This is the framework's block data-parallelism (SURVEY §2.4): lanes of
+    a flush (independent candidate alignments) are sharded on ``dp``, the
+    K band schedules (``offs_k``) are replicated, and the per-lane outputs
+    are **allgathered** so every device (host, in a multi-host pod) holds
+    the full record set — the collective replacing the reference's
+    file-level ``LAmerge`` (``snakemake/Snakefile:1025-1037``).
+
+    Per-lane math is identical to the single-device kernel, so sharded
+    output == single-device output exactly (asserted by
+    ``tests/test_parallel.py`` and the driver's ``dryrun_multichip``).
+    """
+    key = (tuple(d.id for d in mesh.devices.flat), W)
+    fn = _SHARDED_V3_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "dp"), P("dp", None), P("dp"), P(), P("dp"), P("dp")),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+    )
+    def step(a_chars, b_win, b_len, offs_k, lane_k, a_len):
+        best_r, best_j, best_d, best_s, trace_j, trace_d = _extend_scan_v3(
+            a_chars, b_win, b_len, offs_k, lane_k, a_len, W=W)
+        ag = lambda x, axis: jax.lax.all_gather(x, "dp", axis=axis, tiled=True)
+        return (ag(best_r, 0), ag(best_j, 0), ag(best_d, 0), ag(best_s, 0),
+                ag(trace_j, 1), ag(trace_d, 1))
+
+    _SHARDED_V3_CACHE[key] = step
+    return step
+
+
 def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
-                             W: int = 256):
-    """Dispatch the multi-schedule extension (see ``_extend_scan_v3``)."""
-    return _extend_scan_v3(
+                             W: int = 256, mesh=None):
+    """Dispatch the multi-schedule extension (see ``_extend_scan_v3``).
+
+    With ``mesh`` (>1 device) the dispatch runs data-parallel over the
+    mesh's ``dp`` axis; lanes must be padded to a multiple of the mesh
+    size by the caller.
+    """
+    args = (
         jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
         jnp.asarray(b_win, dtype=jnp.uint8),
         jnp.asarray(b_len, dtype=jnp.int32),
         jnp.asarray(offs_k, dtype=jnp.int32),
         jnp.asarray(lane_k, dtype=jnp.int32),
         jnp.asarray(a_len, dtype=jnp.int32),
-        W=W,
     )
+    if mesh is not None and mesh.size > 1:
+        return sharded_extend_v3(mesh, W)(*args)
+    return _extend_scan_v3(*args, W=W)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))

@@ -193,18 +193,20 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
                 tb, te = max(0, b - c.begin), min(c.length, e - c.begin)
                 triples.append((c.global_contig_id, tb, te))
                 region_ids[(c.global_contig_id, tb, te)] = pair
-    regions = Region.from_triples(triples) if triples else Region()
-    if regions.empty:
+    if not triples:
         return set()
 
     # Re-map against gap-region *sub-stores* instead of the whole
     # preliminary assembly: validation only needs local coverage and
     # spanning evidence around each closed gap, and most reads (no
     # seeds in the sub-index) are rejected at the lookup stage.
+    # NB: iterate the raw per-BED-row triples (no Region normalization):
+    # adjacent closed-gap intervals on one contig must NOT merge, or the
+    # interval→contig-id-pair association is lost and purging is skipped.
     pad = 25_000
     sub_seqs, sub_regions, sub_region_ids = [], [], {}
     for (cid, b, e), pair in [((int(t), int(bb), int(ee)), region_ids.get((int(t), int(bb), int(ee))))
-                              for t, bb, ee in regions.iv]:
+                              for t, bb, ee in triples]:
         contig_seq = prelim.get(cid)
         lo = max(0, b - pad)
         hi = min(len(contig_seq), e + pad)

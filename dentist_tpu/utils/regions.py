@@ -41,11 +41,16 @@ def _normalize(iv: np.ndarray) -> np.ndarray:
     tag, beg, end = iv[:, 0], iv[:, 1], iv[:, 2]
     # Per-tag running max of `end` via a keyed cummax: tags are sorted
     # ascending, so a carried-over key from a smaller tag decodes to a
-    # negative end and never suppresses a group break.
-    OFFSET = np.int64(1) << 40
-    cummax_key = np.maximum.accumulate(tag * OFFSET + end)
+    # negative end and never suppresses a group break.  Keys use *dense tag
+    # ranks* (not raw tags, which may be huge read ids or negative) so the
+    # packed int64 has headroom: ranks < 2^28, coordinates < 2^35 (32 Gb).
+    rank = np.unique(tag, return_inverse=True)[1].astype(np.int64)
+    OFFSET = np.int64(1) << 35
+    assert end.max() < OFFSET and rank[-1] < (np.int64(1) << 27), \
+        "interval coordinates/tag count exceed keyed-cummax headroom"
+    cummax_key = np.maximum.accumulate(rank * OFFSET + end)
     new_group = np.ones(len(iv), dtype=bool)
-    new_group[1:] = (tag[1:] != tag[:-1]) | (beg[1:] > cummax_key[:-1] - tag[1:] * OFFSET)
+    new_group[1:] = (tag[1:] != tag[:-1]) | (beg[1:] > cummax_key[:-1] - rank[1:] * OFFSET)
     group = np.cumsum(new_group) - 1
     n_groups = group[-1] + 1
     out = np.empty((n_groups, 3), dtype=np.int64)

@@ -154,17 +154,19 @@ int64_t dentist_sa_locate(void* handle, const uint8_t* pattern, int64_t m,
 
 void dentist_sa_free(void* handle) { delete static_cast<Index*>(handle); }
 
-// Fast 2-bit packing: 4 codes per byte (the Dazzler .bps layout).
+// Fast 2-bit packing: 4 codes per byte, first base in the HIGH bits of each
+// byte, the Dazzler .bps layout (DAZZ_DB Compress_Read), so packed arrays
+// diff cleanly against reference-produced .bps files.
 void dentist_pack_2bit(const uint8_t* codes, int64_t n, uint8_t* out) {
   int64_t nb = (n + 3) / 4;
   std::memset(out, 0, nb);
   for (int64_t i = 0; i < n; ++i)
-    out[i >> 2] |= (codes[i] & 0x3) << ((i & 0x3) << 1);
+    out[i >> 2] |= (codes[i] & 0x3) << ((3 - (i & 0x3)) << 1);
 }
 
 void dentist_unpack_2bit(const uint8_t* packed, int64_t n, uint8_t* out) {
   for (int64_t i = 0; i < n; ++i)
-    out[i] = (packed[i >> 2] >> ((i & 0x3) << 1)) & 0x3;
+    out[i] = (packed[i >> 2] >> ((3 - (i & 0x3)) << 1)) & 0x3;
 }
 
 }  // extern "C"
