@@ -228,6 +228,8 @@ class Aligner:
         # padded compute on fragmented flushes
         N = next((lb for lb in _LANE_BUCKETS if len(jobs) <= lb),
                  -(-len(jobs) // _LANE_BUCKETS[-1]) * _LANE_BUCKETS[-1])
+        if self.mesh is not None:  # lanes shard evenly over the dp axis
+            N = -(-N // self.mesh.size) * self.mesh.size
         lane_k = np.concatenate([lane_k, np.zeros(N - len(jobs), dtype=np.int32)])
         BW = int(_SLOPE_MAX * R) + 2 * W + 8
         a_win = np.zeros((N, R), dtype=np.uint8)
@@ -251,7 +253,7 @@ class Aligner:
                 b_win[n, lead : lead + len(rev)] = rev
         # async dispatch: device computes while the host seeds more reads
         out = extend_batch_multi_async(a_win, b_win, a_lens, b_lens, offs_k,
-                                       lane_k, W=W)
+                                       lane_k, W=W, mesh=self.mesh)
         self._inflight.append((jobs, out))
 
     def _drain(self):
@@ -482,17 +484,20 @@ def align_store_pair(
     config: AlignerConfig | None = None,
     mask_intervals: np.ndarray | None = None,
     self_alignment: bool = False,
+    mesh=None,
 ) -> LocalAlignmentSet:
     """Align every query against the target store; returns sorted LAs.
 
     With ``self_alignment=True`` the queries are the target's own
     sequences and the identity diagonal is suppressed (daligner ``-I``
-    self-comparison semantics).
+    self-comparison semantics).  ``mesh`` (>1 device) runs every
+    extension dispatch data-parallel over the mesh with allgathered
+    outputs; results are identical to the single-device path.
     """
     cfg = config or AlignerConfig()
     index = KmerIndex(target_codes, target_offsets, target_lengths, k=cfg.k,
                       mask_intervals=mask_intervals)
-    aligner = Aligner(index, target_codes, cfg)
+    aligner = Aligner(index, target_codes, cfg, mesh=mesh)
     ids = query_ids or list(range(1, len(queries) + 1))
     aligner.align_queries([np.asarray(q, dtype=np.uint8) for q in queries], ids,
                           exclude_identity=self_alignment)

@@ -111,8 +111,10 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len, W: int):
 
     rows = jnp.arange(1, R + 1, dtype=jnp.int32)
     xs = (a_chars, offs_k[:-1], offs_k[1:], rows)
-    zero = jnp.zeros((N,), dtype=jnp.int32)
-    init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
+    # carries derive from `b_len` (not fresh constants) so their varying
+    # axes match the body outputs when this runs inside shard_map
+    zero = jnp.zeros_like(b_len)
+    init = (D0, zero, zero, jnp.full_like(b_len, -INF), zero, zero, zero)
     (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
         body, init, xs, unroll=2)
 
@@ -154,6 +156,9 @@ def sharded_extend_v3(mesh, W: int):
         mesh=mesh,
         in_specs=(P(None, "dp"), P("dp", None), P("dp"), P(), P("dp"), P("dp")),
         out_specs=(P(), P(), P(), P(), P(), P()),
+        # outputs are replicated by the trailing all_gather; the static
+        # varying-axis checker cannot infer that
+        check_vma=False,
     )
     def step(a_chars, b_win, b_len, offs_k, lane_k, a_len):
         best_r, best_j, best_d, best_s, trace_j, trace_d = _extend_scan_v3(

@@ -49,16 +49,19 @@ def map_reads(
     read_ids: list[int] | None = None,
     config: MapperConfig | None = None,
     mask_intervals: np.ndarray | None = None,
+    mesh=None,
 ) -> tuple[LocalAlignmentSet, list[Chain]]:
     """Map reads against the assembly.  Returns (las, chains).
 
     ``las`` contains only LAs belonging to surviving chains, sorted
     canonically, with ``chain_id`` set; ``chains`` index into it.
+    ``mesh`` shards extension dispatches data-parallel (see
+    :func:`align_store_pair`).
     """
     cfg = config or MapperConfig()
     las = align_store_pair(
         target_codes, target_offsets, target_lengths, reads, read_ids,
-        config=cfg.aligner, mask_intervals=mask_intervals,
+        config=cfg.aligner, mask_intervals=mask_intervals, mesh=mesh,
     )
     all_chains, las = chain_local_alignments(las, cfg.chaining)
     if not all_chains:

@@ -7,4 +7,4 @@ file-level reductions (LAmerge/Catrack/merge-insertions/mask union)
 become allgather/psum collectives over ICI.
 """
 
-from .dp import make_mesh, sharded_pipeline_step, pipeline_step
+from .dp import make_mesh, default_mesh

@@ -87,21 +87,28 @@ def run_pipeline(assembly_path, reads_path, out_path, cfg: PipelineConfig | None
 
 @trace_execution
 def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
-    """Stages 1-3: dust, tandem, self-repeat, reads-repeat, homogenized."""
+    """Stages 1-3: dust, tandem, self-repeat, reads-repeat, homogenized.
+
+    With more than one local device, alignment dispatches run
+    data-parallel over the mesh (SURVEY §2.4; the reference's per-block
+    Snakemake jobs, ``Snakefile:998-1037,1143-1170``)."""
+    from .parallel.dp import default_mesh
+
+    mesh = default_mesh()
     c, o, l = contigs.codes, contigs.offsets, contigs.lengths
     dust = dust_mask(c, o, l)
     tan = tandem_mask(c, o, l)
     self_las = align_store_pair(
         c, o, l, [contigs.get(i + 1) for i in range(len(contigs))],
         config=AlignerConfig(), self_alignment=True,
-        mask_intervals=(dust | tan).iv,
+        mask_intervals=(dust | tan).iv, mesh=mesh,
     )
     self_mask = coverage_mask(pack_chain_intervals(self_las), l, 0, cfg.max_coverage_self)
     repeats = self_mask | tan
 
     las, chains = map_reads(
         c, o, l, read_list, config=MapperConfig(),
-        mask_intervals=(dust | repeats).iv,
+        mask_intervals=(dust | repeats).iv, mesh=mesh,
     )
     _, hi_reads = repeat_coverage_bounds_reads(cfg.read_coverage)
     reads_mask = coverage_mask(pack_chain_intervals(las), l, 0, hi_reads)
@@ -219,9 +226,12 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
     sub_codes = np.concatenate(sub_seqs)
     p_dust = dust_mask(sub_codes, sub_offs, sub_lens)
     p_tan = tandem_mask(sub_codes, sub_offs, sub_lens)
+    from .parallel.dp import default_mesh
+
     p_las, p_chains = map_reads(
         sub_codes, sub_offs, sub_lens, read_list,
         config=MapperConfig(), mask_intervals=(p_dust | p_tan).iv,
+        mesh=default_mesh(),
     )
     vcfg = ValidateConfig(
         min_coverage_reads=validation_min_coverage(cfg.read_coverage, cfg.ploidy),

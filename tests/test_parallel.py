@@ -1,39 +1,66 @@
-"""Device-mesh tests: sharded pipeline step + driver entry points."""
+"""Device-mesh tests: the PRODUCTION kernel sharded over a CPU mesh.
+
+Validates the framework's block data-parallelism (SURVEY §2.4): the same
+``_extend_scan_v3`` trace-point kernel the pipeline uses, dispatched
+under ``shard_map`` with lanes on ``dp`` and allgathered outputs, must
+produce exactly the single-device result on real simulated sequences.
+"""
 
 import numpy as np
 import pytest
 
 import jax
 
-from dentist_tpu.parallel.dp import make_mesh, sharded_pipeline_step
+from dentist_tpu.ops.banded import extend_batch_multi_async
+from dentist_tpu.ops.mapper import MapperConfig, map_reads
+from dentist_tpu.parallel.dp import make_mesh
 
 
 def test_mesh_has_virtual_devices():
     assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
 
 
-def test_sharded_pipeline_step_runs():
-    mesh = make_mesh(8)
-    W, B, R, K, L = 32, 16, 126, 16, 512
-    BW = R + 2 * W
-    rng = np.random.default_rng(2)
-    sorted_kmers = np.sort(rng.integers(0, 1 << 20, L)).astype(np.int32)
-    read_kmers = rng.integers(0, 1 << 20, (B, K)).astype(np.int32)
-    a_win = rng.integers(0, 4, (B, R)).astype(np.int32)
-    b_win = rng.integers(0, 4, (B, BW)).astype(np.int32)
-    a_len = np.full(B, R, np.int32)
-    b_len = np.full(B, R, np.int32)
-    centers = np.broadcast_to(np.minimum(np.arange(R + 1), R), (B, R + 1)).astype(np.int32)
+def test_sharded_kernel_equals_single_device():
+    """Raw kernel: random lanes, sharded vs unsharded dispatch."""
+    W, N, R, K = 64, 16, 252, 4
+    BW = int(1.4 * R) + 2 * W + 8
+    rng = np.random.default_rng(3)
+    a_win = rng.integers(0, 4, (N, R)).astype(np.uint8)
+    b_win = rng.integers(0, 4, (N, BW)).astype(np.uint8)
+    a_len = np.full(N, R, np.int32)
+    b_len = np.full(N, R, np.int32)
+    offs_k = np.broadcast_to((np.arange(R + 1) - W // 2)[:, None],
+                             (R + 1, K)).astype(np.int32).copy()
+    lane_k = (np.arange(N) % K).astype(np.int32)
 
-    step = sharded_pipeline_step(mesh, W=W, n_bins=8)
-    with mesh:
-        seed_counts, best, hist = step(
-            sorted_kmers, read_kmers, a_win, b_win, a_len, b_len, centers)
-    assert seed_counts.shape == (B, K)
-    assert best.shape == (B,)
-    # psum makes the histogram identical (replicated) across the mesh
-    assert hist.shape == (8,)
-    assert int(np.asarray(hist).sum()) == int((np.asarray(best) > 0).sum())
+    single = extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k,
+                                      lane_k, W=W, mesh=None)
+    sharded = extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k,
+                                       lane_k, W=W, mesh=make_mesh(8))
+    for s, u in zip(sharded, single):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(u))
+
+
+@pytest.mark.parametrize("n_devices", [8, 4])
+def test_sharded_map_reads_equals_single_device(n_devices):
+    """End-to-end: map real simulated reads sharded vs single-device."""
+    import __graft_entry__ as g
+
+    contigs, reads = g._simulated_scenario(seed=21)
+    mesh = make_mesh(n_devices)
+    las_s, chains_s = map_reads(contigs.codes, contigs.offsets,
+                                contigs.lengths, reads,
+                                config=MapperConfig(), mesh=mesh)
+    las_1, chains_1 = map_reads(contigs.codes, contigs.offsets,
+                                contigs.lengths, reads,
+                                config=MapperConfig(), mesh=None)
+    assert len(las_s) > 0
+    for f in ("a_id", "b_id", "complement", "a_begin", "a_end", "b_begin",
+              "b_end", "diffs", "trace_offsets", "trace_diffs",
+              "trace_b_adv", "chain_id"):
+        np.testing.assert_array_equal(getattr(las_s, f), getattr(las_1, f),
+                                      err_msg=f"field {f}")
+    assert len(chains_s) == len(chains_1)
 
 
 def test_graft_entry_single_chip():
@@ -48,4 +75,3 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
-    g.dryrun_multichip(4)
