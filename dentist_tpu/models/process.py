@@ -30,7 +30,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..io.fasta import reverse_complement
-from ..ops.consensus import consensus
+from ..ops.consensus import consensus_batch, rank_reference_reads
 from ..utils.log import log_json
 from ..utils.regions import Region
 from .alignments import TRACE_SPACING, LocalAlignmentSet
@@ -52,6 +52,9 @@ class ProcessConfig:
     anchor_probe: int = 64  # bases of contig edge located in the consensus
     #: max total edits tolerated when locating an edge anchor
     anchor_max_edits: int = 8
+    #: consensus retries over QV-ranked reference-read candidates on
+    #: splice failure (``processPileUps/package.d:600-619``)
+    max_consensus_retries: int = 2
 
 
 # ----------------------------------------------------------------------
@@ -145,15 +148,29 @@ def _locate_anchor(cons: np.ndarray, anchor: np.ndarray, max_edits: int):
     return int(prev_start[j_end]), j_end, edits
 
 
-def process_pile_up(
+@dataclass
+class _Prepared:
+    """A cropped, oriented pile-up ready for consensus + splicing."""
+
+    cropped: list[np.ndarray]
+    read_ids: list[int]
+    sides: list[Node]
+    is_gap: bool
+    start: Node
+    end: Node
+    #: index of the default (median-length) consensus template read
+    median_idx: int = 0
+
+
+def _prepare_pile_up(
     pile_up: list[ReadAlignmentRep],
     ctx: ChainCtx,
     contigs: SeqStore,
     reads: SeqStore,
     repeats: Region,
     cfg: ProcessConfig,
-) -> Insertion | None:
-    """Produce the insertion for one pile-up, or None (with logged reason)."""
+) -> _Prepared | None:
+    """Crop + orient the pile-up's reads (with logged reason on failure)."""
     start, end = pile_up[0].make_join_nodes(ctx)
     if end < start:
         start, end = end, start
@@ -241,13 +258,21 @@ def process_pile_up(
     if len(pre) or len(post):
         cropped = [np.concatenate([pre, r, post]) for r in cropped]
 
-    cons = consensus(cropped, rounds=cfg.consensus_rounds, W=cfg.band_width)
+    order = sorted(range(len(cropped)), key=lambda i: len(cropped[i]))
+    median_idx = order[len(order) // 2]
+    return _Prepared(cropped, read_ids, sides, is_gap, start, end, median_idx)
+
+
+def _splice(prep: _Prepared, cons, contigs: SeqStore,
+            cfg: ProcessConfig) -> Insertion | None:
+    """Locate each contig's gap-facing edge anchor in the consensus and cut
+    the insertion out (``getInsertionAlignment``, ``package.d:699-769``)."""
+    sides, is_gap = prep.sides, prep.is_gap
     seq = cons.sequence
     if len(seq) == 0:
         log_json("warn", event="pileUpSkipped", reason="emptyConsensus")
         return None
 
-    # splice: locate each contig's gap-facing edge anchor in the consensus
     q: list[tuple[int, int, int]] = []
     for si, node in enumerate(sides):
         contig_id, part = node
@@ -272,20 +297,20 @@ def process_pile_up(
         q1, q2 = q[0][1], q[1][0]
         if q2 < q1:
             log_json("warn", event="pileUpSkipped", reason="contigsOverlap",
-                     q1=q1, q2=q2, start=list(start), end=list(end))
+                     q1=q1, q2=q2, start=list(prep.start), end=list(prep.end))
             return None
         ins_seq = seq[q1:q2]
         err = max(q[0][2], q[1][2]) / max(cfg.anchor_probe, 1)
-        return Insertion(sides[0], sides[1], ins_seq, read_ids, error=err,
-                         n_reads=len(cropped))
+        return Insertion(sides[0], sides[1], ins_seq, prep.read_ids, error=err,
+                         n_reads=len(prep.cropped))
     else:
         q1 = q[0][1]
         ins_seq = seq[q1:]
         contig_id, part = sides[0]
         trans = (contig_id, ContigPart.POST if part == ContigPart.END else ContigPart.PRE)
         err = q[0][2] / max(cfg.anchor_probe, 1)
-        return Insertion(sides[0], trans, ins_seq, read_ids, error=err,
-                         n_reads=len(cropped))
+        return Insertion(sides[0], trans, ins_seq, prep.read_ids, error=err,
+                         n_reads=len(prep.cropped))
 
 
 def _support_patches(sides, crop, contigs, ctx, cfg):
@@ -335,6 +360,19 @@ def _translate_chain(las: LocalAlignmentSet, ch, a_coord: int) -> int | None:
     return best
 
 
+def process_pile_up(
+    pile_up: list[ReadAlignmentRep],
+    ctx: ChainCtx,
+    contigs: SeqStore,
+    reads: SeqStore,
+    repeats: Region,
+    cfg: ProcessConfig,
+) -> Insertion | None:
+    """Produce the insertion for one pile-up, or None (with logged reason)."""
+    out = process_pile_ups([pile_up], ctx, contigs, reads, repeats, cfg)
+    return out[0] if out else None
+
+
 def process_pile_ups(
     pile_ups: list[list[ReadAlignmentRep]],
     ctx: ChainCtx,
@@ -344,19 +382,83 @@ def process_pile_ups(
     cfg: ProcessConfig | None = None,
     batch: tuple[int, int] | None = None,
 ) -> list[Insertion]:
-    """Process pile-ups (optionally a ``--batch from..to`` slice)."""
+    """Process pile-ups (optionally a ``--batch from..to`` slice).
+
+    Consensus runs BATCHED across pile-ups — one set of bucketed device
+    dispatches per realign round serves every pile-up (the reference
+    thread-parallelizes pile-ups, ``processPileUps/package.d:146-159``).
+    On splice failure a pile-up's consensus is retried with the next
+    QV-ranked reference-read candidate as the template
+    (``findReferenceReadCandidates`` + retry, ``package.d:518-619``);
+    per-pile-up failures are contained with logged reasons.
+    """
     cfg = cfg or ProcessConfig()
     lo, hi = batch if batch else (0, len(pile_ups))
-    insertions = []
+
+    prepared: list[_Prepared] = []
     for i in range(lo, min(hi, len(pile_ups))):
         try:
-            ins = process_pile_up(pile_ups[i], ctx, contigs, reads, repeats, cfg)
+            prep = _prepare_pile_up(pile_ups[i], ctx, contigs, reads, repeats, cfg)
         except Exception as exc:  # per-pile-up containment (reference behavior)
-            log_json("warn", event="pileUpSkipped", reason="exception", error=str(exc),
-                     pileUp=i)
-            ins = None
-        if ins is not None:
-            insertions.append(ins)
+            log_json("warn", event="pileUpSkipped", reason="exception",
+                     error=str(exc), pileUp=i)
+            prep = None
+        if prep is not None:
+            prepared.append(prep)
+
+    insertions: list[Insertion] = []
+    pending = list(range(len(prepared)))
+    tmpl_idx: dict[int, int] = {k: prepared[k].median_idx for k in pending}
+    tried: dict[int, set] = {k: {prepared[k].median_idx} for k in pending}
+    for attempt in range(cfg.max_consensus_retries + 1):
+        if not pending:
+            break
+        try:
+            conss = consensus_batch(
+                [prepared[k].cropped for k in pending],
+                rounds=cfg.consensus_rounds, W=cfg.band_width,
+                template_idxs=[tmpl_idx[k] for k in pending],
+            )
+        except Exception as exc:
+            # containment fallback: batch failed — run pile-ups one by one
+            log_json("warn", event="consensusBatchFailed", error=str(exc))
+            conss = []
+            for k in pending:
+                try:
+                    conss.append(consensus_batch(
+                        [prepared[k].cropped], rounds=cfg.consensus_rounds,
+                        W=cfg.band_width, template_idxs=[tmpl_idx[k]])[0])
+                except Exception as exc2:
+                    log_json("warn", event="pileUpSkipped", reason="exception",
+                             error=str(exc2))
+                    conss.append(None)
+
+        retry: list[int] = []
+        for k, cons in zip(pending, conss):
+            if cons is None:
+                continue
+            try:
+                ins = _splice(prepared[k], cons, contigs, cfg)
+            except Exception as exc:
+                log_json("warn", event="pileUpSkipped", reason="exception",
+                         error=str(exc))
+                continue
+            if ins is not None:
+                insertions.append(ins)
+                continue
+            # QV-ranked reference-read retry
+            if attempt < cfg.max_consensus_retries:
+                ranked = rank_reference_reads(cons.win_diffs, cons.read_spans)
+                nxt = next((int(r) for r in ranked if int(r) not in tried[k]), None)
+                if nxt is not None:
+                    tmpl_idx[k] = nxt
+                    tried[k].add(nxt)
+                    retry.append(k)
+                    log_json("info", event="consensusRetry",
+                             templateRead=prepared[k].read_ids[nxt],
+                             attempt=attempt + 1)
+        pending = retry
+
     log_json("info", event="processPileUps", numPileUps=hi - lo,
              numInsertions=len(insertions))
     insertions.sort(key=lambda x: (x.start_node, x.end_node))

@@ -8,23 +8,30 @@ alignments with intrinsic QVs and an error profile; the equivalent here:
    (the cropper normalizes strand and anchors every read at a common
    trace point), so read↔template alignment needs no seeding — a banded
    free-shift NW with the band following the proportional diagonal.
-2. The forward DP runs batched on device (``lax.scan`` over template
-   positions, move matrix in a ``(reads, T, W)`` tensor).
-3. Traceback + per-column voting happen vectorized over reads; the new
-   template is the per-column majority (base/deletion) plus
-   majority-supported insertions.  2–3 rounds converge to the pile-up
-   consensus (daccord's windowed alignment achieves the same fixpoint —
-   the window structure is an implementation detail of its O(n·w) cost
-   model, not of the result).
+2. The forward DP **and the traceback** run batched on device: lanes are
+   (template, read) pairs drawn from MANY pile-ups at once, each lane
+   carrying its own template stream — one dispatch per (template-length,
+   read-length) bucket serves every pile-up in the batch
+   (``processPileUps/package.d:146-159`` thread-parallelizes pile-ups;
+   here they share device dispatches).  The traceback is a second
+   ``lax.scan`` over path steps whose emitted (row, col, move) streams
+   are scatter-reduced into dense per-lane alignment columns — the
+   (N, T, W) move tensor never leaves the device.
+3. Per-column voting and template rebuild are vectorized host passes
+   over the compact per-lane column arrays; the new template is the
+   per-column majority (base/deletion) plus majority-supported
+   insertions.  2–3 rounds converge to the pile-up consensus (daccord's
+   windowed alignment achieves the same fixpoint — the window structure
+   is an implementation detail of its O(n·w) cost model).
 4. Byproducts per read: per-trace-window diff counts = the intrinsic
    QV signal (``computeintrinsicqv`` equivalent) used for reference-read
-   selection and region validation.
+   selection (``processPileUps/package.d:518-568``) and validation.
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -32,13 +39,16 @@ import numpy as np
 
 from ..models.alignments import TRACE_SPACING
 
-__all__ = ["ConsensusResult", "consensus", "align_to_template"]
+__all__ = ["ConsensusResult", "consensus", "consensus_batch",
+           "rank_reference_reads"]
 
 _INF = np.int32(1 << 28)
 #: move codes
 _DIAG, _UP, _LEFT, _NONE = 0, 1, 2, 3
 
 _T_BUCKETS = [512, 1024, 2048, 4096, 8192, 16384, 32768]
+#: device-memory budget for the (T, N, W) move tensor per dispatch
+_MOVE_BUDGET = 1 << 28
 
 
 def _t_bucket(t: int) -> int:
@@ -48,18 +58,386 @@ def _t_bucket(t: int) -> int:
     return _T_BUCKETS[-1]
 
 
+def _rl_bucket(rl: int) -> int:
+    b = 256
+    while b < rl:
+        b *= 2
+    return b
+
+
+# ======================================================================
+# Batched banded NW round: forward DP + device traceback
+# ======================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "S", "NWIN"))
+def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
+                     T: int, W: int, S: int, NWIN: int):
+    """One realign round for N independent (template, read) lanes.
+
+    tpl: (T, N) uint8 — per-lane template char stream (lanes of one
+    pile-up share columns but the kernel doesn't care); t_lens (N,);
+    reads (N, RL) uint8; read_lens (N,); centers (T+1, N) int32 band
+    centers per template row.
+
+    Free-shift semantics (matching the pile-up geometry): free leading
+    read prefix and free leading/trailing template gap; the read must be
+    fully consumed (free trailing-read ends would silence the trailing
+    insertion votes that let extension templates grow).
+
+    Returns per lane, all on device:
+      sym (N, T) int8 — read contribution per template column
+        (0..3 base, 4 deletion, 5 uncovered),
+      ins (N, T+1, 4) int8 — up to 4 ranked insertions before each
+        column (0 none, 1..4 base+1),
+      jpath (N, T+1) int32 — read coordinate where each template
+        boundary is crossed (−1 uncovered),
+      spans (N, 2) int32 — covered template interval,
+      diffs (N,) int32 — total edit distance,
+      win (N, NWIN) int32 — per-126bp-window diffs (intrinsic QV signal),
+      covered (N,) bool.
+    """
+    tpl = tpl.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    N, RL = reads_i.shape
+    p = jnp.arange(W, dtype=jnp.int32)
+    lane = jnp.arange(N, dtype=jnp.int32)
+    rl_clip = jnp.maximum(read_lens - W // 2, 0)
+
+    def off_from(c):
+        return jnp.clip(c - W // 2, -W // 2, rl_clip)
+
+    off0 = off_from(centers[0])
+    j0g = off0[:, None] + p[None, :]
+    D0 = jnp.where((j0g >= 0) & (j0g <= read_lens[:, None]), 0, _INF).astype(jnp.int32)
+
+    def body(carry, xs):
+        D_prev, off_prev = carry
+        t_ch, c_cur, i = xs
+        off = off_from(c_cur)
+        s = (off - off_prev)[:, None]
+        idx = p[None, :] + s
+        ok = (idx >= 0) & (idx < W)
+        E = jnp.where(ok, jnp.take_along_axis(D_prev, jnp.clip(idx, 0, W - 1), axis=1), _INF)
+        idx1 = idx - 1
+        ok1 = (idx1 >= 0) & (idx1 < W)
+        E1 = jnp.where(ok1, jnp.take_along_axis(D_prev, jnp.clip(idx1, 0, W - 1), axis=1), _INF)
+
+        j = off[:, None] + p[None, :]
+        r_ch = jnp.take_along_axis(reads_i, jnp.clip(j - 1, 0, RL - 1), axis=1)
+        sub = (r_ch != t_ch[:, None]).astype(jnp.int32)
+        diag = jnp.where(j >= 1, E1 + sub, _INF)
+        up = E + 1
+        # free leading template gap: entering at j == 0 costs nothing
+        up = jnp.where(j == 0, jnp.minimum(up, 0), up)
+        tmp = jnp.minimum(diag, up)
+        choose_up = up < diag  # strict: prefer diag on ties
+        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
+        D = closed + p[None, :]
+        from_left = D < tmp
+        valid = (j >= 0) & (j <= read_lens[:, None]) & (i <= t_lens)[..., None]
+        D = jnp.where(valid, jnp.minimum(D, _INF), _INF)
+        move = jnp.where(from_left, _LEFT, jnp.where(choose_up, _UP, _DIAG))
+        move = jnp.where(valid, move, _NONE).astype(jnp.uint8)
+        at_end = jnp.where((j == read_lens[:, None]) & valid, D, _INF).min(axis=1)
+        return (D, off), (move, at_end)
+
+    rows = jnp.arange(1, T + 1, dtype=jnp.int32)
+    xs = (tpl, centers[1:], rows)
+    (_, _), (moves, d_at_jend) = jax.lax.scan(body, (D0, off0), xs)
+    # moves: (T, N, W) uint8 — stays on device
+
+    # ---- end selection: best "read exhausted" row per lane
+    dmin = d_at_jend.min(axis=0)
+    best_i = jnp.argmin(d_at_jend, axis=0).astype(jnp.int32) + 1
+    covered = dmin < _INF
+    i0 = jnp.where(covered, best_i, 0)
+    j_start = jnp.where(covered, read_lens, 0)
+
+    # ---- traceback scan over path steps (i or j strictly decreases)
+    moves_flat = moves.reshape(-1)
+    centers_T = centers.T  # (N, T+1)
+
+    def tb(carry, _):
+        i, j, run, active = carry
+        c_i = jnp.take_along_axis(centers_T, jnp.clip(i, 0, T)[:, None], axis=1)[:, 0]
+        off = off_from(c_i)
+        pp = j - off
+        inb = (pp >= 0) & (pp < W) & (i >= 1)
+        flat = (jnp.clip(i - 1, 0, T - 1) * N + lane) * W + jnp.clip(pp, 0, W - 1)
+        mv = jnp.where(active & inb, moves_flat[flat], _NONE).astype(jnp.int32)
+        is_d = mv == _DIAG
+        is_u = mv == _UP
+        is_l = mv == _LEFT
+        i2 = i - (is_d | is_u)
+        j2 = j - (is_d | is_l)
+        run2 = jnp.where(is_l, run + 1, 0)
+        active2 = active & (mv != _NONE) & (i2 > 0) & (j2 > 0)
+        return (i2, j2, run2, active2), (i, j, mv, run)
+
+    zero = jnp.zeros_like(lane)
+    init = (i0, j_start, zero, covered & (i0 > 0) & (j_start > 0))
+    (i_f, _, _, _), (I, J, MV, RUN) = jax.lax.scan(tb, init, None, length=S)
+
+    # ---- scatter path steps into dense per-lane column arrays
+    lane2 = jnp.broadcast_to(lane[None, :], (S, N))
+    base = reads_i.reshape(-1)[lane2 * RL + jnp.clip(J - 1, 0, RL - 1)]
+    diag_or_up = (MV == _DIAG) | (MV == _UP)
+    is_left = MV == _LEFT
+
+    sym0 = jnp.full((N, T + 1), 5, jnp.int8)
+    symval = jnp.where(MV == _DIAG, base, 4).astype(jnp.int8)
+    sym0 = sym0.at[lane2, jnp.where(diag_or_up, jnp.clip(I - 1, 0, T - 1), T)].min(
+        jnp.where(diag_or_up, symval, 127).astype(jnp.int8))
+    sym = sym0[:, :T]
+
+    ins_ok = is_left & (RUN < 4)
+    ins0 = jnp.zeros((N, T + 2, 4), jnp.int8)
+    ins0 = ins0.at[lane2, jnp.where(ins_ok, jnp.clip(I, 0, T), T + 1),
+                   jnp.where(ins_ok, RUN, 0)].max(
+        jnp.where(ins_ok, (base + 1).astype(jnp.int8), 0))
+    ins = ins0[:, : T + 1]
+
+    jp0 = jnp.full((N, T + 2), -1, jnp.int32)
+    jp0 = jp0.at[lane, jnp.clip(i0, 0, T)].max(jnp.where(covered, j_start, -1))
+    jp0 = jp0.at[lane2, jnp.where(diag_or_up, jnp.clip(I - 1, 0, T), T + 1)].max(
+        jnp.where(diag_or_up, J - (MV == _DIAG), -1))
+    jpath = jp0[:, : T + 1]
+
+    mism = (MV == _DIAG) & (base != tpl.reshape(-1)[jnp.clip(I - 1, 0, T - 1) * N + lane2])
+    contrib = mism | (MV == _UP) | is_left
+    w = jnp.where(is_left, jnp.minimum(I, t_lens[lane2] - 1), I - 1) // TRACE_SPACING
+    win0 = jnp.zeros((N, NWIN + 1), jnp.int32)
+    win0 = win0.at[lane2, jnp.where(contrib, jnp.clip(w, 0, NWIN - 1), NWIN)].add(
+        contrib.astype(jnp.int32))
+    win = win0[:, :NWIN]
+
+    spans = jnp.stack([jnp.where(covered, i_f, 0), jnp.where(covered, i0, 0)], axis=1)
+    diffs = jnp.where(covered, dmin, 0)
+    return sym, ins, jpath, spans, diffs, win, covered
+
+
+# ======================================================================
+# Host round executor: bucket + dispatch lanes from many pile-ups
+# ======================================================================
+
+
+@dataclass
+class _RoundOut:
+    """Per-job results of one realign round (host arrays)."""
+
+    sym: np.ndarray  # (n, T) int8
+    ins: np.ndarray  # (n, T+1, 4) int8
+    jpath: np.ndarray  # (n, T+1) int64
+    spans: np.ndarray  # (n, 2)
+    diffs: np.ndarray  # (n,)
+    win: np.ndarray  # (n, NWIN)
+    covered: np.ndarray  # (n,) bool
+
+
+def _make_centers(T: int, read_lens: np.ndarray, jpath: np.ndarray | None) -> np.ndarray:
+    """Band centers (T+1, N): slope-1 clamped, or previous traceback path."""
+    N = len(read_lens)
+    rows = np.arange(T + 1, dtype=np.int64)
+    centers = np.minimum(rows[:, None], read_lens[None, :].astype(np.int64))
+    if jpath is not None and jpath.shape[0] == N:
+        Tp = jpath.shape[1] - 1
+        for n in range(N):
+            good = np.flatnonzero(jpath[n] >= 0)
+            if len(good) >= 2:
+                interp = np.interp(
+                    np.linspace(0, Tp, T + 1), good, jpath[n, good]
+                )
+                centers[:, n] = np.clip(np.round(interp), 0, read_lens[n]).astype(np.int64)
+    return centers.astype(np.int32)
+
+
+def _prop_centers(T: int, read_lens: np.ndarray) -> np.ndarray:
+    rows = np.arange(T + 1, dtype=np.int64)
+    prop = np.minimum(
+        rows[:, None] * read_lens[None, :].astype(np.int64) // max(T, 1),
+        read_lens[None, :].astype(np.int64),
+    )
+    return prop.astype(np.int32)
+
+
+def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]],
+               W: int) -> list[_RoundOut]:
+    """Align every job's reads to its template in bucketed batched
+    dispatches; lanes from all jobs share dispatches.
+
+    jobs: (template, reads, jpath_prev) per pile-up.  Lanes that fail
+    with path-following/slope-1 centers are retried once with
+    proportional centers (partial vs full-span reads drift differently).
+    """
+    lanes = []  # (job_idx, read_idx, template, read, jpath_prev)
+    for ji, (template, reads, jpath_prev) in enumerate(jobs):
+        for ri, r in enumerate(reads):
+            lanes.append((ji, ri, template, r, jpath_prev))
+
+    outs: dict[tuple[int, int], tuple] = {}
+    # group lanes by (T bucket, RL bucket)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for li, (ji, ri, template, r, _) in enumerate(lanes):
+        key = (_t_bucket(max(len(template), 1)), _rl_bucket(max(len(r), 1)))
+        groups.setdefault(key, []).append(li)
+
+    for (TB, RLB), lidx in groups.items():
+        max_n = max(8, _MOVE_BUDGET // (TB * W))
+        for c0 in range(0, len(lidx), max_n):
+            chunk = lidx[c0 : c0 + max_n]
+            _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True)
+            # retry uncovered lanes with proportional centers
+            retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
+            if retry:
+                _dispatch_chunk(lanes, retry, TB, RLB, W, outs,
+                                jpath_centers=False, only_if_better=True)
+
+    # assemble per-job outputs
+    results = []
+    for ji, (template, reads, _) in enumerate(jobs):
+        T = len(template)
+        n = len(reads)
+        NWIN = max((TB_nwin(T)), 1)
+        sym = np.full((n, T), 5, np.int8)
+        ins = np.zeros((n, T + 1, 4), np.int8)
+        jpath = np.full((n, T + 1), -1, np.int64)
+        spans = np.zeros((n, 2), np.int64)
+        diffs = np.zeros(n, np.int64)
+        win = np.zeros((n, NWIN), np.int32)
+        cov = np.zeros(n, bool)
+        for ri in range(n):
+            o = outs[(ji, ri)]
+            sym[ri] = o[0][:T]
+            ins[ri] = o[1][: T + 1]
+            jpath[ri] = o[2][: T + 1]
+            spans[ri] = o[3]
+            diffs[ri] = o[4]
+            win[ri] = o[5][:NWIN]
+            cov[ri] = o[6]
+        results.append(_RoundOut(sym, ins, jpath, spans, diffs, win, cov))
+    return results
+
+
+def TB_nwin(T: int) -> int:
+    return (T + TRACE_SPACING - 1) // TRACE_SPACING
+
+
+def _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True,
+                    only_if_better=False):
+    N = len(chunk)
+    tpl = np.zeros((TB, N), dtype=np.uint8)
+    t_lens = np.zeros(N, dtype=np.int32)
+    reads_arr = np.zeros((N, RLB), dtype=np.uint8)
+    read_lens = np.zeros(N, dtype=np.int32)
+    centers = np.zeros((TB + 1, N), dtype=np.int32)
+    for k, li in enumerate(chunk):
+        ji, ri, template, r, jpath_prev = lanes[li]
+        T = len(template)
+        tpl[:T, k] = template
+        t_lens[k] = T
+        reads_arr[k, : len(r)] = r
+        read_lens[k] = len(r)
+        if jpath_centers:
+            jp = jpath_prev[ri : ri + 1].astype(np.int64) if (
+                jpath_prev is not None and ri < len(jpath_prev)) else None
+            c = _make_centers(T, read_lens[k : k + 1], jp)
+        else:
+            c = _prop_centers(T, read_lens[k : k + 1])
+        centers[: T + 1, k] = c[:, 0]
+        centers[T + 1 :, k] = c[T, 0]
+    NWIN = max(TB_nwin(TB), 1)
+    out = _nw_round_kernel(
+        jnp.asarray(tpl), jnp.asarray(t_lens), jnp.asarray(reads_arr),
+        jnp.asarray(read_lens), jnp.asarray(centers),
+        T=TB, W=W, S=TB + RLB, NWIN=NWIN,
+    )
+    sym, ins, jpath, spans, diffs, win, covered = (np.asarray(o) for o in out)
+    for k, li in enumerate(chunk):
+        ji, ri = lanes[li][0], lanes[li][1]
+        if only_if_better and not covered[k]:
+            continue
+        outs[(ji, ri)] = (sym[k], ins[k], jpath[k], spans[k], diffs[k],
+                          win[k], bool(covered[k]))
+
+
+# ======================================================================
+# Voting + template rebuild (vectorized host passes)
+# ======================================================================
+
+
+def _votes_of(out: _RoundOut, T: int):
+    """(col_votes (T, 5), ins_votes (T+1, 4, 4), cov (T,))."""
+    n = out.sym.shape[0]
+    if T == 0 or n == 0:
+        return (np.zeros((T, 5), np.int32), np.zeros((T + 1, 4, 4), np.int32),
+                np.zeros(T, np.int32))
+    onehot = out.sym[:, :, None] == np.arange(5, dtype=np.int8)[None, None, :]
+    col_votes = onehot.sum(axis=0).astype(np.int32)
+    ins_votes = (out.ins[:, :, :, None]
+                 == np.arange(1, 5, dtype=np.int8)[None, None, None, :]).sum(
+        axis=0).astype(np.int32)
+    cov = col_votes.sum(axis=1).astype(np.int32)
+    return col_votes, ins_votes, cov
+
+
+def _rebuild_template(template: np.ndarray, col_votes, ins_votes, cov) -> np.ndarray:
+    """Per-column majority + majority-supported insertions (vectorized)."""
+    T = len(template)
+    covered = np.flatnonzero(cov > 0)
+    lo, hi = (int(covered[0]), int(covered[-1]) + 1) if len(covered) else (0, T)
+    # trim junk edge columns: leading/trailing template bases that only
+    # coincidentally collect votes (free end gaps bypass them, so they
+    # show a sharp coverage jump relative to the adjacent interior)
+    while lo < hi - 1 and cov[lo] * 3 < cov[min(lo + 8, hi - 1)]:
+        lo += 1
+    while hi - 1 > lo and cov[hi - 1] * 3 < cov[max(hi - 9, lo)]:
+        hi -= 1
+
+    idx = np.arange(lo, hi)
+    # insertion reference coverage: cov[i-1] for i > 0 else cov[i]
+    cov_ref = np.maximum(np.where(idx > 0, cov[np.maximum(idx - 1, 0)], cov[idx]), 1)
+    iv = ins_votes[lo:hi]  # (M, 4 ranks, 4 bases)
+    ins_accept = iv.max(axis=2) * 2 > cov_ref[:, None]  # (M, 4)
+    ins_base = iv.argmax(axis=2)  # (M, 4)
+
+    v = col_votes[lo:hi]
+    vsum = v.sum(axis=1)
+    col_keep = (vsum == 0) | ~(v[:, 4] * 2 > vsum)
+    col_char = np.where(vsum == 0, template[lo:hi], v[:, :4].argmax(axis=1))
+
+    # row-major (column, slot) emission: 4 insertion slots then the column
+    M = hi - lo
+    vals = np.empty((M, 5), dtype=np.int64)
+    keep = np.empty((M, 5), dtype=bool)
+    vals[:, :4] = ins_base
+    keep[:, :4] = ins_accept
+    vals[:, 4] = col_char
+    keep[:, 4] = col_keep
+    parts = vals.reshape(-1)[keep.reshape(-1)]
+
+    # trailing insertions at boundary hi
+    iv_hi = ins_votes[hi]
+    c_hi = max(cov[hi - 1] if hi > 0 else 1, 1)
+    tail_accept = iv_hi.max(axis=1) * 2 > c_hi
+    tail = iv_hi.argmax(axis=1)[tail_accept]
+    return np.concatenate([parts, tail]).astype(np.uint8)
+
+
+# ======================================================================
+# Polish: exact-objective hill climb, batched across pile-ups
+# ======================================================================
+
+
 @functools.partial(jax.jit, static_argnames=("T", "W", "global_ends"))
 def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
                     global_ends: bool = False):
     """Edit distance of each (template, read) pair, free-shift or global.
 
     templates: (V, T) int32; reads: (V, N, RL) int32 — variant v is scored
-    against its own read set (broadcast the reads for variant batches).
-    Returns (V, N) int32 distances.  Forward-only: no move storage, used
-    by the polish phase to score candidate template edits exactly.
-    With ``global_ends`` both ends are anchored (true NW): used for
-    path-anchored window scoring where free ends would let edits hide in
-    unpenalized gaps.
+    against its own read set.  Returns (V, N) int32 distances.
+    Forward-only: no move storage; scores candidate template edits
+    exactly.  With ``global_ends`` both ends are anchored (true NW).
     """
     V, N, RL = reads.shape
     p = jnp.arange(W, dtype=jnp.int32)
@@ -111,327 +489,10 @@ def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
         (D_last, _, best_end), row_last = jax.lax.scan(body, (D0, off0, best0), rows)
         if global_ends:
             return best_end
-        # distance at template end row (free trailing read) — emitted at i==t_len
         d_t_end = row_last.min(axis=0)
         return jnp.minimum(best_end, d_t_end)
 
     return jax.vmap(one)(templates, t_lens, reads, read_lens)
-
-
-@functools.partial(jax.jit, static_argnames=("T", "W"))
-def _banded_nw(template, t_len, reads, read_lens, centers, T: int, W: int):
-    """Banded free-shift NW of each read against the template.
-
-    template: (T,) int32; reads: (N, RL) int32; centers: (T+1, N) int32
-    band centers per template row (slope-1 initially, previous-round
-    traceback paths on refinement rounds — partial reads are NOT
-    proportional to the template).  Returns (moves (N, T, W) uint8,
-    last_row (N, W) int32, d_at_jend (N, T) int32).
-    """
-    N, RL = reads.shape
-    p = jnp.arange(W, dtype=jnp.int32)
-
-    def off_of(i):
-        c = centers[i]
-        return jnp.clip(c - W // 2, -W // 2, jnp.maximum(read_lens - W // 2, 0))
-
-    off0 = off_of(jnp.int32(0))
-    j0 = off0[:, None] + p[None, :]
-    D0 = jnp.where((j0 >= 0) & (j0 <= read_lens[:, None]), 0, _INF).astype(jnp.int32)
-
-    def body(carry, i):
-        D_prev, off_prev = carry
-        off = off_of(i)
-        s = (off - off_prev)[:, None]
-        idx = p[None, :] + s
-        ok = (idx >= 0) & (idx < W)
-        E = jnp.where(ok, jnp.take_along_axis(D_prev, jnp.clip(idx, 0, W - 1), axis=1), _INF)
-        idx1 = idx - 1
-        ok1 = (idx1 >= 0) & (idx1 < W)
-        E1 = jnp.where(ok1, jnp.take_along_axis(D_prev, jnp.clip(idx1, 0, W - 1), axis=1), _INF)
-
-        j = off[:, None] + p[None, :]
-        t_ch = template[i - 1]
-        r_ch = jnp.take_along_axis(reads, jnp.clip(j - 1, 0, RL - 1), axis=1)
-        sub = (r_ch != t_ch).astype(jnp.int32)
-
-        diag = jnp.where(j >= 1, E1 + sub, _INF)
-        up = E + 1
-        # free leading template gap: entering at j == 0 costs nothing
-        up = jnp.where(j == 0, jnp.minimum(up, 0), up)
-        tmp = jnp.minimum(diag, up)
-        choose_up = up < diag  # strict: prefer diag on ties
-        # horizontal closure (left moves) via prefix-min scan
-        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
-        D = closed + p[None, :]
-        from_left = D < tmp
-        valid = (j >= 0) & (j <= read_lens[:, None]) & (i <= t_len)[..., None]
-        D = jnp.where(valid, jnp.minimum(D, _INF), _INF)
-        move = jnp.where(from_left, _LEFT, jnp.where(choose_up, _UP, _DIAG)).astype(jnp.uint8)
-        move = jnp.where(valid, move, _NONE).astype(jnp.uint8)
-
-        # D at j == read_lens (read exhausted) for free trailing template
-        at_end = jnp.where(
-            (j == read_lens[:, None]) & valid, D, _INF
-        ).min(axis=1)
-        return (D, off), (move, at_end)
-
-    rows = jnp.arange(1, T + 1, dtype=jnp.int32)
-    (D_last, _), (moves, d_at_jend) = jax.lax.scan(body, (D0, off0), rows)
-    return (
-        jnp.moveaxis(moves, 0, 1),  # (N, T, W)
-        D_last,
-        jnp.moveaxis(d_at_jend, 0, 1),  # (N, T)
-    )
-
-
-def _make_centers(T: int, read_lens: np.ndarray, jpath: np.ndarray | None) -> np.ndarray:
-    """Band centers (T+1, N): slope-1 clamped, or previous traceback path."""
-    N = len(read_lens)
-    rows = np.arange(T + 1, dtype=np.int64)
-    centers = np.minimum(rows[:, None], read_lens[None, :].astype(np.int64))
-    if jpath is not None and jpath.shape[0] == N:
-        Tp = jpath.shape[1] - 1
-        for n in range(N):
-            good = np.flatnonzero(jpath[n] >= 0)
-            if len(good) >= 2:
-                interp = np.interp(
-                    np.linspace(0, Tp, T + 1), good, jpath[n, good]
-                )
-                centers[:, n] = np.clip(np.round(interp), 0, read_lens[n]).astype(np.int64)
-    return centers.astype(np.int32)
-
-
-def align_to_template(template: np.ndarray, reads: list[np.ndarray], W: int = 128,
-                      jpath_prev: np.ndarray | None = None):
-    """Run the banded NW; returns (moves, last_row, d_at_jend, read_lens,
-    centers) for host traceback."""
-    T = len(template)
-    TB = _t_bucket(T)
-    N = len(reads)
-    RL = max((len(r) for r in reads), default=1)
-    RLpad = max(RL, 1)
-    reads_arr = np.zeros((N, RLpad), dtype=np.int32)
-    read_lens = np.zeros(N, dtype=np.int32)
-    for n, r in enumerate(reads):
-        reads_arr[n, : len(r)] = r
-        read_lens[n] = len(r)
-    tpl = np.zeros(TB, dtype=np.int32)
-    tpl[:T] = template
-    centers = np.zeros((TB + 1, N), dtype=np.int32)
-    centers[: T + 1] = _make_centers(T, read_lens, jpath_prev)
-    centers[T + 1 :] = centers[T]
-    moves, last_row, d_at_jend = _banded_nw(
-        jnp.asarray(tpl), jnp.int32(T), jnp.asarray(reads_arr),
-        jnp.asarray(read_lens), jnp.asarray(centers), T=TB, W=W,
-    )
-    moves = np.asarray(moves)
-    last_row = np.asarray(last_row)
-    d_at_jend = np.asarray(d_at_jend)
-    # retry failed lanes with proportional centers: slope-1 suits partial
-    # reads, proportional suits full-span reads whose insertion surplus
-    # drifts past the band; the union covers both.
-    failed = (last_row.min(axis=1) >= _INF) & (d_at_jend[:, :T].min(axis=1) >= _INF)
-    if failed.any() and T > 0:
-        rows = np.arange(TB + 1, dtype=np.int64)
-        prop = np.minimum(
-            rows[:, None] * read_lens[None, :].astype(np.int64) // max(T, 1),
-            read_lens[None, :].astype(np.int64),
-        ).astype(np.int32)
-        m2, l2, d2 = _banded_nw(
-            jnp.asarray(tpl), jnp.int32(T), jnp.asarray(reads_arr),
-            jnp.asarray(read_lens), jnp.asarray(prop), T=TB, W=W,
-        )
-        m2, l2, d2 = np.asarray(m2), np.asarray(l2), np.asarray(d2)
-        ok2 = (l2.min(axis=1) < _INF) | (d2[:, :T].min(axis=1) < _INF)
-        swap = failed & ok2
-        if swap.any():
-            moves = moves.copy()
-            last_row = last_row.copy()
-            d_at_jend = d_at_jend.copy()
-            moves[swap] = m2[swap]
-            last_row[swap] = l2[swap]
-            d_at_jend[swap] = d2[swap]
-            centers[:, swap] = prop[:, swap]
-    return moves, last_row, d_at_jend, read_lens, centers
-
-
-def _traceback_and_vote(template_len, moves, last_row, d_at_jend, read_lens, W,
-                        centers, max_ins_rank: int = 4):
-    """Host traceback over all reads; returns votes and per-read stats.
-
-    Returns (col_votes (T,5) [A,C,G,T,DEL], ins_votes (T+1, R, 4),
-    spans (N,2) template cover interval, diffs (N,), per-window diffs).
-    """
-    T = template_len
-    N = len(read_lens)
-    col_votes = np.zeros((T, 5), dtype=np.int32)
-    ins_votes = np.zeros((T + 1, max_ins_rank, 4), dtype=np.int32)
-    spans = np.zeros((N, 2), dtype=np.int64)
-    diffs = np.zeros(N, dtype=np.int64)
-    n_win = (T + TRACE_SPACING - 1) // TRACE_SPACING
-    win_diffs = np.zeros((N, max(n_win, 1)), dtype=np.int32)
-    #: read coordinate where each template position is crossed (−1 = uncovered)
-    jpath = np.full((N, T + 1), -1, dtype=np.int64)
-
-    def off_of(i, rl, n):
-        return int(np.clip(centers[i, n] - W // 2, -W // 2, max(rl - W // 2, 0)))
-
-    for n in range(N):
-        rl = int(read_lens[n])
-        # choose end: best of last row vs read-exhausted column
-        lr = last_row[n]
-        off_T = off_of(T, rl, n)
-        p_valid = np.arange(W) + off_T
-        lr = np.where((p_valid >= 0) & (p_valid <= rl), lr, _INF)
-        best_p = int(np.argmin(lr))
-        best_last = int(lr[best_p])
-        dj = d_at_jend[n, :T]
-        best_i = int(np.argmin(dj)) + 1 if T > 0 else 0
-        best_jend = int(dj[best_i - 1]) if T > 0 else _INF
-        if best_last <= best_jend:
-            i, j = T, off_T + best_p
-            total = best_last
-        else:
-            i, j = best_i, rl
-            total = best_jend
-        if total >= _INF:
-            spans[n] = (0, 0)
-            continue
-        end_i = i
-        diffs[n] = total
-        ins_run = 0
-        jpath[n, i] = j
-        while i > 0 and j > 0:
-            off = off_of(i, rl, n)
-            pp = j - off
-            if pp < 0 or pp >= W:
-                break
-            mv = moves[n, i - 1, pp]
-            if mv == _DIAG:
-                col_votes[i - 1, _read_base_cache[n][j - 1]] += 1
-                if _read_base_cache[n][j - 1] != _template_cache[i - 1]:
-                    win_diffs[n, (i - 1) // TRACE_SPACING] += 1
-                i -= 1
-                j -= 1
-                ins_run = 0
-                jpath[n, i] = j
-            elif mv == _UP:
-                col_votes[i - 1, 4] += 1  # deletion
-                win_diffs[n, (i - 1) // TRACE_SPACING] += 1
-                i -= 1
-                ins_run = 0
-                jpath[n, i] = j
-            elif mv == _LEFT:
-                if ins_run < max_ins_rank:
-                    ins_votes[i, ins_run, _read_base_cache[n][j - 1]] += 1
-                win_diffs[n, min(i, T - 1) // TRACE_SPACING] += 1
-                j -= 1
-                ins_run += 1
-            else:
-                break
-        spans[n] = (i, end_i)
-    return col_votes, ins_votes, spans, diffs, win_diffs, jpath
-
-
-# module-level caches set by consensus() for the traceback hot loop
-_read_base_cache: list = []
-_template_cache: np.ndarray = None
-
-
-def _score_variants(variants: list[np.ndarray], reads_arr: np.ndarray,
-                    read_lens: np.ndarray, W: int) -> np.ndarray:
-    """Total edit distance of each template variant to all reads."""
-    V0 = len(variants)
-    V = 8
-    while V < V0:
-        V *= 2  # pad to a power of two: one compile per (V, T) bucket
-    TB = _t_bucket(max(len(v) for v in variants))
-    tpl = np.zeros((V, TB), dtype=np.int32)
-    t_lens = np.zeros(V, dtype=np.int32)
-    for k, v in enumerate(variants):
-        tpl[k, : len(v)] = v
-        t_lens[k] = len(v)
-    reads_b = np.broadcast_to(reads_arr, (V,) + reads_arr.shape)
-    lens_b = np.broadcast_to(read_lens, (V,) + read_lens.shape)
-    d = _banded_nw_dist(
-        jnp.asarray(tpl), jnp.asarray(t_lens), jnp.asarray(reads_b),
-        jnp.asarray(lens_b), T=TB, W=W,
-    )
-    d = np.asarray(d)[:V0]
-    d = np.where(d >= _INF, 0, d)  # unaligned reads contribute nothing
-    return d.sum(axis=1)
-
-
-def _polish(template: np.ndarray, reads: list[np.ndarray], W: int,
-            max_rounds: int = 8, min_votes_frac: float = 0.08) -> np.ndarray:
-    """Hill-climb on total edit distance to all reads.
-
-    Candidate edits (single-base insertions and deletions) come from the
-    vote matrices; an edit is kept only if it strictly reduces the exact
-    global objective.  This escapes the local fixpoints of per-column
-    majority voting where 13 %-error reads scatter indel votes across
-    neighboring columns (daccord's de-Bruijn window consensus solves the
-    same problem; here the exact objective is cheap because the scorer is
-    a batched forward-only banded DP on device).
-    """
-    global _template_cache
-    N = len(reads)
-    RL = max(len(r) for r in reads)
-    reads_arr = np.zeros((N, RL), dtype=np.int32)
-    read_lens = np.zeros(N, dtype=np.int32)
-    for n, r in enumerate(reads):
-        reads_arr[n, : len(r)] = r
-        read_lens[n] = len(r)
-
-    # Narrow scoring windows: in a wide window a single spurious template
-    # base is nearly cost-neutral (reads carry systematic insertion-bias
-    # length surplus that re-purposes it); within ±16bp most reads are
-    # locally clean and the edit's ±1 cost is decisive.
-    HALF = 16
-    jpath_prev = None
-    for _ in range(max_rounds):
-        T = len(template)
-        _template_cache = template
-        moves, last_row, d_at_jend, rl, centers = align_to_template(
-            template, reads, W=W, jpath_prev=jpath_prev)
-        col_votes, ins_votes, spans, diffs, _, jpath = _traceback_and_vote(
-            T, moves, last_row, d_at_jend, rl, W, centers
-        )
-        jpath_prev = jpath
-        cov = np.maximum(col_votes.sum(axis=1), 1)
-        min_votes = np.maximum((min_votes_frac * cov).astype(int), 2)
-
-        candidates: list[tuple[int, int, int]] = []  # (pos, kind, base) kind 0=del,1=ins
-        for i in np.flatnonzero(col_votes[:, 4] >= min_votes):
-            candidates.append((int(i), 0, 0))
-        thresh = min_votes[np.clip(np.arange(T + 1) - 1, 0, T - 1)][:, None, None]
-        ins_pos, ins_rank, ins_base = np.nonzero(ins_votes >= thresh)
-        for i, r, b in zip(ins_pos, ins_rank, ins_base):
-            if r == 0:
-                candidates.append((int(i), 1, int(b)))
-        if not candidates:
-            break
-
-        gains = _window_gains(template, candidates, reads_arr, jpath, HALF)
-        order = np.argsort(-gains, kind="stable")
-        chosen = []
-        taken_pos: list[int] = []
-        for k in order:
-            if gains[k] <= 0:
-                continue
-            pos = candidates[k][0]
-            if all(abs(pos - q) > 2 * HALF for q in taken_pos):
-                chosen.append(candidates[k])
-                taken_pos.append(pos)
-        if not chosen:
-            break
-        for pos, kind, base in sorted(chosen, reverse=True):
-            if kind == 0:
-                template = np.delete(template, pos)
-            else:
-                template = np.insert(template, pos, base)
-    return template
 
 
 _V_CHUNK = 64
@@ -445,35 +506,34 @@ def _n_bucket(n: int) -> int:
     return _N_BUCKETS[-1]
 
 
-def _window_gains(template, candidates, reads_arr, jpath, HALF, W_score: int = 16):
-    """Score each candidate edit on a path-anchored local window.
+def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
+    """Score candidate edits on path-anchored local windows, batched
+    across pile-ups.
 
-    Both the unedited and the edited template window are scored with a
-    *global* banded NW against each read's segment between its traceback
-    path coordinates at the window boundaries (anchored ends — free ends
-    would let deletions hide in unpenalized gaps).  Gain = Σ(base − edit).
-    Shapes are fixed (window/V/N buckets) so the scorer compiles once.
+    cands: list of (template, pos, kind, base, reads_arr, jpath) — each
+    candidate carries its own pile-up context, so one dispatch mixes
+    candidates from many pile-ups.  Both the unedited and edited window
+    are scored with a *global* banded NW against each read's segment
+    between its traceback-path coordinates at the window boundaries
+    (anchored ends — free ends would let deletions hide in unpenalized
+    gaps).  Gain = Σ(base − edit).
     """
-    T = len(template)
-    TW = 2 * HALF + 2  # template window bucket
-    N = reads_arr.shape[0]
-    NB = _n_bucket(N)
-    RW = 2 * HALF + 4 * W_score  # read segment bound between anchors
-    gains = np.zeros(len(candidates), dtype=np.int64)
-
+    TW = 2 * HALF + 2
+    RW = 2 * HALF + 4 * W_score
+    gains = np.zeros(len(cands), dtype=np.int64)
     half_v = _V_CHUNK // 2
-    for c0 in range(0, len(candidates), half_v):
-        chunk = candidates[c0 : c0 + half_v]
-        # one dispatch scores base and edited windows together (lanes
-        # k = base, k + half_v = edit) — the tunnel round trip per
-        # dispatch dominates polish cost
+    NB = _n_bucket(max((c[4].shape[0] for c in cands), default=1))
+
+    for c0 in range(0, len(cands), half_v):
+        chunk = cands[c0 : c0 + half_v]
         V = _V_CHUNK
         tpl = np.zeros((V, TW), dtype=np.int32)
         t_len = np.zeros(V, dtype=np.int32)
         rwin = np.zeros((V, NB, RW), dtype=np.int32)
         rwin_len = np.zeros((V, NB), dtype=np.int32)
-        covered = np.zeros((V, NB), dtype=bool)
-        for k, (pos, kind, base) in enumerate(chunk):
+        cov_ok = np.zeros((V, NB), dtype=bool)
+        for k, (template, pos, kind, base, reads_arr, jpath) in enumerate(chunk):
+            T = len(template)
             lo = max(0, pos - HALF)
             hi = min(T, pos + HALF)
             win = template[lo:hi]
@@ -485,14 +545,14 @@ def _window_gains(template, candidates, reads_arr, jpath, HALF, W_score: int = 1
             t_len[k] = len(win)
             tpl[k + half_v, : len(ewin)] = ewin
             t_len[k + half_v] = len(ewin)
-            for n in range(N):
+            for n in range(min(reads_arr.shape[0], NB)):
                 jlo, jhi = int(jpath[n, lo]), int(jpath[n, hi])
                 if jlo < 0 or jhi < 0 or jhi <= jlo or jhi - jlo > RW:
                     continue
                 seg = reads_arr[n, jlo:jhi]
                 rwin[k, n, : len(seg)] = seg
                 rwin_len[k, n] = len(seg)
-                covered[k, n] = True
+                cov_ok[k, n] = True
         rwin[half_v : half_v + len(chunk)] = rwin[: len(chunk)]
         rwin_len[half_v : half_v + len(chunk)] = rwin_len[: len(chunk)]
         d = np.asarray(_banded_nw_dist(
@@ -501,10 +561,95 @@ def _window_gains(template, candidates, reads_arr, jpath, HALF, W_score: int = 1
         ))
         db = d[: len(chunk)]
         de = d[half_v : half_v + len(chunk)]
-        ok = covered[: len(chunk)] & (db < _INF) & (de < _INF)
+        ok = cov_ok[: len(chunk)] & (db < _INF) & (de < _INF)
         diff = np.where(ok, db - de, 0).sum(axis=1)
         gains[c0 : c0 + len(chunk)] = diff
     return gains
+
+
+def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08):
+    """Candidate single-base edits: (pos, kind, base); kind 0=del, 1=ins."""
+    T = col_votes.shape[0]
+    min_votes = np.maximum((min_votes_frac * np.maximum(cov, 1)).astype(int), 2)
+    candidates: list[tuple[int, int, int]] = []
+    for i in np.flatnonzero(col_votes[:, 4] >= min_votes):
+        candidates.append((int(i), 0, 0))
+    thresh = min_votes[np.clip(np.arange(T + 1) - 1, 0, T - 1)][:, None, None]
+    ins_pos, ins_rank, ins_base = np.nonzero(ins_votes >= thresh)
+    for i, r, b in zip(ins_pos, ins_rank, ins_base):
+        if r == 0:
+            candidates.append((int(i), 1, int(b)))
+    return candidates
+
+
+def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
+    """Hill-climb on total edit distance to all reads, batched.
+
+    Candidate edits (single-base insertions and deletions) come from the
+    vote matrices; an edit is kept only if it strictly reduces the exact
+    local objective.  This escapes the local fixpoints of per-column
+    majority voting where 13 %-error reads scatter indel votes across
+    neighboring columns (daccord's de-Bruijn window consensus solves the
+    same problem).  All pile-ups still improving share each round's
+    dispatches.
+    """
+    HALF = 16
+    active = [p for p in range(len(states))
+              if len(read_sets[p]) > 1 and len(states[p]["template"])]
+    for _ in range(max_rounds):
+        if not active:
+            break
+        jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
+                for p in active]
+        outs = _run_round(jobs, W)
+
+        all_cands = []  # (active_idx, pos, kind, base)
+        ctx = []
+        for ai, p in enumerate(active):
+            T = len(states[p]["template"])
+            col_votes, ins_votes, cov = _votes_of(outs[ai], T)
+            states[p]["jpath"] = outs[ai].jpath
+            states[p]["last_out"] = outs[ai]
+            reads_arr = states[p]["reads_arr"]
+            cands = _candidates_from_votes(col_votes, ins_votes, cov)
+            for c in cands:
+                all_cands.append((ai, c))
+                ctx.append((states[p]["template"], c[0], c[1], c[2],
+                            reads_arr, outs[ai].jpath))
+        if not all_cands:
+            break
+        gains = _window_gains_multi(ctx, HALF=HALF)
+
+        still = []
+        for ai, p in enumerate(active):
+            mine = [(gains[k], all_cands[k][1]) for k in range(len(all_cands))
+                    if all_cands[k][0] == ai]
+            mine.sort(key=lambda x: -x[0])
+            chosen = []
+            taken_pos: list[int] = []
+            for g, (pos, kind, base) in mine:
+                if g <= 0:
+                    continue
+                if all(abs(pos - q) > 2 * HALF for q in taken_pos):
+                    chosen.append((pos, kind, base))
+                    taken_pos.append(pos)
+            if not chosen:
+                continue
+            template = states[p]["template"]
+            for pos, kind, base in sorted(chosen, reverse=True):
+                if kind == 0:
+                    template = np.delete(template, pos)
+                else:
+                    template = np.insert(template, pos, base)
+            states[p]["template"] = template
+            states[p]["stats_stale"] = True
+            still.append(p)
+        active = still
+
+
+# ======================================================================
+# Public API
+# ======================================================================
 
 
 @dataclass
@@ -516,11 +661,18 @@ class ConsensusResult:
     win_diffs: np.ndarray  # (N, n_windows) per-126bp-window diffs (QV signal)
 
 
-def consensus(reads: list[np.ndarray], rounds: int = 3, W: int = 128,
-              template_idx: int | None = None, polish: bool = True) -> ConsensusResult:
-    """Compute the pile-up consensus by iterative realign-and-vote."""
-    global _read_base_cache, _template_cache
-    reads = [np.asarray(r, dtype=np.uint8) for r in reads if len(r) > 0]
+def _result_from(template, out: _RoundOut) -> ConsensusResult:
+    T = len(template)
+    n_win = max(TB_nwin(T), 1)
+    win_cov = np.zeros(n_win, dtype=np.int32)
+    for b, e in out.spans:
+        wb, we = int(b) // TRACE_SPACING, (max(int(e) - 1, 0)) // TRACE_SPACING
+        if e > b:
+            win_cov[wb : we + 1] += 1
+    return ConsensusResult(template, win_cov, out.spans, out.diffs, out.win)
+
+
+def _trivial_result(reads: list[np.ndarray]) -> ConsensusResult | None:
     if not reads:
         return ConsensusResult(np.empty(0, np.uint8), np.empty(0, np.int32),
                                np.empty((0, 2), np.int64), np.empty(0, np.int64),
@@ -530,83 +682,125 @@ def consensus(reads: list[np.ndarray], rounds: int = 3, W: int = 128,
         return ConsensusResult(seq, np.ones(1, np.int32),
                                np.array([[0, len(seq)]]), np.zeros(1, np.int64),
                                np.zeros((1, 1), np.int32))
+    return None
 
-    if template_idx is None:
-        lengths = sorted(range(len(reads)), key=lambda i: len(reads[i]))
-        template_idx = lengths[len(lengths) // 2]
-    template = reads[template_idx]
-    _read_base_cache = reads
 
-    result_stats = None
-    jpath_prev = None
+def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
+                    W: int = 128, template_idxs: list[int | None] | None = None,
+                    polish: bool = True) -> list[ConsensusResult]:
+    """Compute consensi for MANY pile-ups; dispatches are shared.
+
+    Each realign round batches the lanes of every still-active pile-up
+    into a handful of bucketed device programs (the reference
+    thread-parallelizes pile-ups, ``processPileUps/package.d:153``; on
+    TPU they share dispatches instead).
+    """
+    read_sets = [[np.asarray(r, dtype=np.uint8) for r in rs if len(r) > 0]
+                 for rs in read_sets]
+    results: list[ConsensusResult | None] = [None] * len(read_sets)
+    states: list[dict] = []
+    for p, reads in enumerate(read_sets):
+        triv = _trivial_result(reads)
+        t_idx = template_idxs[p] if template_idxs else None
+        if triv is not None:
+            results[p] = triv
+            template = np.empty(0, np.uint8)
+        else:
+            if t_idx is None:
+                order = sorted(range(len(reads)), key=lambda i: len(reads[i]))
+                t_idx = order[len(order) // 2]
+            template = reads[t_idx]
+        RL = max((len(r) for r in reads), default=1)
+        reads_arr = np.zeros((len(reads), RL), dtype=np.int32)
+        for n, r in enumerate(reads):
+            reads_arr[n, : len(r)] = r
+        states.append({"template": template, "jpath": None, "done": False,
+                       "last_out": None, "stats_stale": False,
+                       "reads_arr": reads_arr})
+
+    live = [p for p in range(len(read_sets)) if results[p] is None]
     for rnd in range(rounds):
-        T = len(template)
-        if T == 0:
+        active = [p for p in live if not states[p]["done"]
+                  and len(states[p]["template"])]
+        if not active:
             break
-        _template_cache = template
-        moves, last_row, d_at_jend, read_lens, centers = align_to_template(
-            template, reads, W=W, jpath_prev=jpath_prev)
-        col_votes, ins_votes, spans, diffs, win_diffs, jpath_prev = _traceback_and_vote(
-            T, moves, last_row, d_at_jend, read_lens, W, centers
-        )
-        result_stats = (spans, diffs, win_diffs, col_votes)
-        new_parts = []
-        cov = col_votes.sum(axis=1)
-        covered = np.flatnonzero(cov > 0)
-        lo, hi = (int(covered[0]), int(covered[-1]) + 1) if len(covered) else (0, T)
-        # trim junk edge columns: leading/trailing template bases that only
-        # coincidentally collect votes (free end gaps bypass them, so they
-        # show a sharp coverage jump relative to the adjacent interior)
-        while lo < hi - 1 and cov[lo] * 3 < cov[min(lo + 8, hi - 1)]:
-            lo += 1
-        while hi - 1 > lo and cov[hi - 1] * 3 < cov[max(hi - 9, lo)]:
-            hi -= 1
-        for i in range(lo, hi):
-            # insertions before column i
-            for r in range(ins_votes.shape[1]):
-                iv = ins_votes[i, r]
-                c = max(cov[i - 1] if i > 0 else cov[i], 1)
-                if iv.max() * 2 > c:
-                    new_parts.append(int(np.argmax(iv)))
-            v = col_votes[i]
-            if v.sum() == 0:
-                new_parts.append(int(template[i]))  # uncovered: keep
-            elif v[4] * 2 > v.sum():
-                pass  # majority deletion: drop column
+        jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
+                for p in active]
+        outs = _run_round(jobs, W)
+        for ai, p in enumerate(active):
+            st = states[p]
+            T = len(st["template"])
+            col_votes, ins_votes, cov = _votes_of(outs[ai], T)
+            st["jpath"] = outs[ai].jpath
+            st["last_out"] = outs[ai]
+            new_template = _rebuild_template(st["template"], col_votes,
+                                             ins_votes, cov)
+            if len(new_template) == len(st["template"]) and np.array_equal(
+                    new_template, st["template"]):
+                st["done"] = True
             else:
-                new_parts.append(int(np.argmax(v[:4])))
-        # trailing insertions
-        for r in range(ins_votes.shape[1]):
-            iv = ins_votes[hi, r]
-            if iv.max() * 2 > max(cov[hi - 1] if hi > 0 else 1, 1):
-                new_parts.append(int(np.argmax(iv)))
-        new_template = np.array(new_parts, dtype=np.uint8)
-        converged = len(new_template) == len(template) and np.array_equal(new_template, template)
-        template = new_template
-        if converged:
-            break
+                st["template"] = new_template
+                st["stats_stale"] = True
 
-    if polish and len(template):
-        polished = _polish(template, reads, W)
-        changed = len(polished) != len(template) or not np.array_equal(polished, template)
-        if changed:
-            # refresh per-read stats against the polished template
-            template = polished
-            _template_cache = template
-            moves, last_row, d_at_jend, read_lens, centers = align_to_template(
-                template, reads, W=W, jpath_prev=jpath_prev)
-            _, _, spans, diffs, win_diffs, _ = _traceback_and_vote(
-                len(template), moves, last_row, d_at_jend, read_lens, W, centers
-            )
-            result_stats = (spans, diffs, win_diffs, None)
+    if polish:
+        _polish_batch([states[p] for p in live],
+                      [read_sets[p] for p in live], W)
 
-    spans, diffs, win_diffs, col_votes = result_stats
-    # per-window coverage on the final template grid
-    T = len(template)
-    n_win = max((T + TRACE_SPACING - 1) // TRACE_SPACING, 1)
-    win_cov = np.zeros(n_win, dtype=np.int32)
-    for b, e in spans:
-        wb, we = int(b) // TRACE_SPACING, (max(int(e) - 1, 0)) // TRACE_SPACING
-        if e > b:
-            win_cov[wb : we + 1] += 1
-    return ConsensusResult(template, win_cov, spans, diffs, win_diffs)
+    # refresh stats for pile-ups whose template changed after their last round
+    stale = [p for p in live if states[p]["stats_stale"]
+             and len(states[p]["template"])]
+    if stale:
+        jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
+                for p in stale]
+        outs = _run_round(jobs, W)
+        for ai, p in enumerate(stale):
+            states[p]["last_out"] = outs[ai]
+            states[p]["stats_stale"] = False
+
+    for p in live:
+        st = states[p]
+        if st["last_out"] is None or len(st["template"]) == 0:
+            results[p] = ConsensusResult(
+                st["template"], np.zeros(1, np.int32),
+                np.zeros((len(read_sets[p]), 2), np.int64),
+                np.zeros(len(read_sets[p]), np.int64),
+                np.zeros((len(read_sets[p]), 1), np.int32))
+        else:
+            results[p] = _result_from(st["template"], st["last_out"])
+    return results
+
+
+def consensus(reads: list[np.ndarray], rounds: int = 3, W: int = 128,
+              template_idx: int | None = None, polish: bool = True) -> ConsensusResult:
+    """Compute one pile-up's consensus (see :func:`consensus_batch`)."""
+    return consensus_batch([reads], rounds=rounds, W=W,
+                           template_idxs=[template_idx], polish=polish)[0]
+
+
+def rank_reference_reads(win_diffs: np.ndarray, spans: np.ndarray,
+                         bad_fraction: float = 0.8) -> np.ndarray:
+    """Rank pile-up reads as consensus reference candidates.
+
+    Mirrors ``findReferenceReadCandidates``
+    (``processPileUps/package.d:518-568``): the intrinsic-QV histogram's
+    value at cumulative ``bad_fraction`` becomes the bad-window
+    threshold; reads are ordered by (number of bad windows, mean QV).
+    Windows outside a read's covered span are ignored.
+    """
+    n, n_win = win_diffs.shape
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    wb = spans[:, 0] // TRACE_SPACING
+    we = np.maximum(spans[:, 1] - 1, 0) // TRACE_SPACING
+    cols = np.arange(n_win)[None, :]
+    in_span = (cols >= wb[:, None]) & (cols <= we[:, None]) & (
+        spans[:, 1] > spans[:, 0])[:, None]
+    vals = win_diffs[in_span]
+    if len(vals) == 0:
+        return np.argsort(np.zeros(n), kind="stable")
+    bad_qv = np.quantile(vals, bad_fraction)
+    n_bad = ((win_diffs >= max(bad_qv, 1)) & in_span).sum(axis=1)
+    denom = np.maximum(in_span.sum(axis=1), 1)
+    mean_qv = win_diffs.sum(axis=1, where=in_span) / denom
+    mean_qv = np.where(in_span.any(axis=1), mean_qv, np.inf)
+    return np.lexsort((mean_qv, n_bad))

@@ -120,3 +120,55 @@ def test_win_diffs_reflect_quality():
     mean_wd = res.win_diffs.mean()
     assert 5 < mean_wd < 40
     assert res.coverage.min() >= 14
+
+
+def test_consensus_batch_matches_individual():
+    """Many pile-ups in one batch must give the same consensi as one-by-one."""
+    from dentist_tpu.ops.consensus import consensus_batch
+
+    sets = []
+    truths = []
+    for seed in (200, 201, 202, 203):
+        truth = random_genome(400 + 137 * (seed % 3), seed=seed)
+        truths.append(truth)
+        sets.append(noisy_reads(truth, 12, 0.13, seed=seed + 7))
+    batched = consensus_batch(sets)
+    for rs, truth, bres in zip(sets, truths, batched):
+        ires = consensus(rs)
+        assert np.array_equal(bres.sequence, ires.sequence)
+        assert np.array_equal(bres.read_diffs, ires.read_diffs)
+        # quality sanity (12x coverage: near-exact, not necessarily exact)
+        assert len(edit_ops(truth, bres.sequence)) <= 3
+
+
+def test_rank_reference_reads_orders_by_quality():
+    from dentist_tpu.ops.consensus import rank_reference_reads
+
+    truth = random_genome(900, seed=30)
+    reads = noisy_reads(truth, 10, 0.13, seed=31)
+    # make read 4 much worse than the rest
+    rng = np.random.default_rng(32)
+    reads[4] = _mutate(truth, rng, 0.45)
+    res = consensus(reads)
+    ranked = rank_reference_reads(res.win_diffs, res.read_spans)
+    assert ranked[-1] == 4 or ranked[-2] == 4  # worst read ranks last-ish
+    assert 4 not in ranked[:3]
+
+
+def test_corrupted_template_read_recovers_via_retry():
+    """VERDICT #4: a garbage median-length template must not sink the
+    pile-up — QV-ranked retry converges byte-exact."""
+    from dentist_tpu.ops.consensus import rank_reference_reads
+
+    truth = random_genome(800, seed=40)
+    reads = noisy_reads(truth, 15, 0.13, seed=41)
+    order = sorted(range(len(reads)), key=lambda i: len(reads[i]))
+    med = order[len(order) // 2]
+    reads[med] = random_genome(len(reads[med]), seed=999)  # unrelated junk
+
+    first = consensus(reads, template_idx=med)
+    # first attempt fails (or is garbage): reads can't anchor on junk
+    ranked = rank_reference_reads(first.win_diffs, first.read_spans)
+    nxt = next(int(r) for r in ranked if int(r) != med)
+    retry = consensus(reads, template_idx=nxt)
+    assert_matches_interior(truth, retry.sequence)
