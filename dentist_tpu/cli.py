@@ -166,7 +166,8 @@ def cmd_mask(args):
         mask = coverage_mask(intervals, store.lengths, 0, hi)
         if args.read_coverage is not None:
             _, hi_imp = repeat_coverage_bounds_improper(args.read_coverage)
-            improper = _improper_intervals(las, chains, store.lengths)
+            read_lengths = _load_reads(args.reads_db).lengths
+            improper = _improper_intervals(las, chains, store.lengths, read_lengths)
             mask = mask | coverage_mask(improper, store.lengths, 0, hi_imp)
     else:  # self alignment
         mask = coverage_mask(intervals, store.lengths, 0, args.max_coverage_self)
@@ -174,17 +175,19 @@ def cmd_mask(args):
     log_json("info", event="mask", intervals=len(mask), maskedBp=mask.size)
 
 
-def _improper_intervals(las, chains, contig_lengths):
-    """A-intervals of improper chains (``maskRepetitiveRegions.d:183``)."""
-    from .models.alignments import TRACE_SPACING
+def _improper_intervals(las, chains, contig_lengths, read_lengths):
+    """A-intervals of improper chains (``maskRepetitiveRegions.d:183``).
 
+    Uses the full two-sided properness test (``base.d:537``) — the same
+    definition the in-process pipeline applies — so the staged CLI and
+    ``pipeline`` paths produce identical improper-coverage masks.
+    """
     out = []
     for ch in chains or []:
-        ab, ae, bb, be = ch.first_last(las)
         a_len = int(contig_lengths[ch.a_id - 1])
-        # b length unknown here: use conservative end test on A side only
-        proper = ab <= TRACE_SPACING or ae >= a_len - TRACE_SPACING
-        if not proper:
+        b_len = int(read_lengths[ch.b_id - 1])
+        if not ch.is_proper(las, a_len, b_len):
+            ab, ae, _, _ = ch.first_last(las)
             out.append((ch.a_id, ab, ae))
     return np.array(out, dtype=np.int64).reshape(-1, 3)
 
@@ -238,31 +241,72 @@ def cmd_show_mask(args):
             print(f"  contig {tag}: {b}..{e}")
 
 
+def _parse_data_comment(comment: str) -> tuple[list[int], list[int]]:
+    """DENTIST BED data comment (``bed2mask.d:229``): ``|``-joined parts,
+    ``contigs-<a>-<b>`` and ``reads-<id>-<id>-...``; later parts of the
+    same type overwrite earlier ones."""
+    contig_ids: list[int] = []
+    read_ids: list[int] = []
+    for part in comment.split("|"):
+        fields = part.split("-")
+        if fields[0] == "contigs" and len(fields) == 3:
+            contig_ids = [int(fields[1]), int(fields[2])]
+        elif fields[0] == "reads" and len(fields) >= 2:
+            read_ids = [int(f) for f in fields[1:]]
+    return contig_ids, read_ids
+
+
 @command("bed2mask")
 def cmd_bed2mask(args):
     from .io.store import save_mask
+    from .utils.log import log_json
     from .utils.regions import Region
 
     store, structure = _load_assembly(args.assembly)
     name_to_sid = {h.split()[0]: i for i, h in enumerate(structure.headers)}
     triples = []
+    extra_contigs: list[list[int]] = []
+    extra_reads: list[list[int]] = []
     with open(args.bed) as fh:
         for line in fh:
             if not line.strip() or line.startswith("#"):
                 continue
             fields = line.rstrip("\n").split("\t")
             name, b, e = fields[0], int(fields[1]), int(fields[2])
-            name = name.split("\t")[0]
             sid = name_to_sid.get(name)
             if sid is None:
                 continue
+            contig_ids, read_ids = ([], [])
+            if args.data_comments and len(fields) >= 4:
+                contig_ids, read_ids = _parse_data_comment(fields[3])
             # scaffold coords → contig coords
             for c in structure.contigs:
                 if c.scaffold_id == sid and c.begin < e and b < c.end:
                     triples.append((c.global_contig_id,
                                     max(0, b - c.begin),
                                     min(c.length, e - c.begin)))
-    save_mask(args.out_mask, Region.from_triples(triples))
+                    extra_contigs.append(contig_ids)
+                    extra_reads.append(read_ids)
+    if not args.data_comments:
+        save_mask(args.out_mask, Region.from_triples(triples))
+        return
+    # keep the per-row interval ↔ id-list association: sort like the
+    # Region normalizer and require disjoint rows (closed-gap BED rows
+    # are); the id lists ride along as DazzExtra-equivalent mask extras
+    iv = np.array(triples, dtype=np.int64).reshape(-1, 3)
+    order = np.lexsort((iv[:, 2], iv[:, 1], iv[:, 0]))
+    iv = iv[order]
+    disjoint = np.all((iv[1:, 0] != iv[:-1, 0]) | (iv[1:, 1] >= iv[:-1, 2])) \
+        if len(iv) > 1 else True
+    if not disjoint:
+        log_json("warn", event="bed2mask",
+                 message="overlapping BED rows: dropping data comments")
+        save_mask(args.out_mask, Region.from_triples(triples))
+        return
+    save_mask(args.out_mask, Region(iv, _normalized=True), extras={
+        "contig_ids": [extra_contigs[i] for i in order],
+        "read_ids": [extra_reads[i] for i in order],
+    })
 
 
 @command("mask2bed")
@@ -745,6 +789,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from .utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and not argv[0].startswith("-"):
         argv[0] = resolve_command(argv[0])

@@ -82,13 +82,35 @@ def load_alignments(path) -> tuple[LocalAlignmentSet, list[Chain] | None]:
 
 # -- masks -------------------------------------------------------------
 
-def save_mask(path, region: Region):
-    np.savez_compressed(path, intervals=region.iv)
+def save_mask(path, region: Region, extras: dict | None = None):
+    """Persist a mask; ``extras`` optionally carries per-interval id lists
+    (the reference's ``DazzExtra`` side-channel, ``dazzler.d:5190-5380``),
+    e.g. ``{"contig_ids": [...], "read_ids": [...]}`` with one (possibly
+    empty) id list per interval of ``region.iv``."""
+    payload = {"intervals": region.iv}
+    for name, lists in (extras or {}).items():
+        assert len(lists) == len(region.iv), f"extra {name} misaligned"
+        lens = np.array([len(x) for x in lists], dtype=np.int64)
+        flat = (np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+                if lens.sum() else np.empty(0, np.int64))
+        payload[f"extra_{name}_offsets"] = np.concatenate([[0], np.cumsum(lens)])
+        payload[f"extra_{name}_data"] = flat
+    np.savez_compressed(path, **payload)
 
 
-def load_mask(path) -> Region:
+def load_mask(path, with_extras: bool = False):
     z = np.load(path, allow_pickle=False)
-    return Region(z["intervals"], _normalized=True)
+    region = Region(z["intervals"], _normalized=True)
+    if not with_extras:
+        return region
+    extras = {}
+    for key in z.files:
+        if key.startswith("extra_") and key.endswith("_offsets"):
+            name = key[len("extra_") : -len("_offsets")]
+            offs = z[key]
+            data = z[f"extra_{name}_data"]
+            extras[name] = [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+    return region, extras
 
 
 # -- pile-ups ----------------------------------------------------------

@@ -36,11 +36,19 @@ class Insertion:
     error: float = 0.0
     #: number of reads in the pile-up
     n_reads: int = 0
+    #: bases to trim from each flank contig's gap-facing edge when the
+    #: consensus implies the contigs overlap (the reference's cropping
+    #: positions, ``insertions.d:107-284`` + ``output.d fixCropping``);
+    #: keyed to start_node / end_node respectively
+    crop_start_node: int = 0
+    crop_end_node: int = 0
 
     def __post_init__(self):
         if self.end_node < self.start_node:
             self.start_node, self.end_node = self.end_node, self.start_node
             self.sequence = _revcomp(self.sequence)
+            self.crop_start_node, self.crop_end_node = (
+                self.crop_end_node, self.crop_start_node)
 
     @property
     def is_gap(self) -> bool:

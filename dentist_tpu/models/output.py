@@ -218,6 +218,21 @@ def _walk_and_emit(
     n_closed = 0
     n_ext = 0
 
+    # contig crop requests from overlap-implying insertions (the
+    # reference's ``fixCropping``, ``output.d:931``): bases trimmed from
+    # a contig's gap-facing physical side
+    crops: dict[Node, int] = {}
+    for j in graph.joins():
+        p = j.payload
+        if p.kind == "insertion" and p.insertion is not None:
+            ins = p.insertion
+            if ins.crop_start_node:
+                crops[ins.start_node] = max(crops.get(ins.start_node, 0),
+                                            ins.crop_start_node)
+            if ins.crop_end_node:
+                crops[ins.end_node] = max(crops.get(ins.end_node, 0),
+                                          ins.crop_end_node)
+
     segment_maps: dict[str, list[tuple]] = {}
     for start in graph.scaffold_starts():
         parts: list[tuple[str, str]] = []  # (kind, sequence-string)
@@ -230,11 +245,16 @@ def _walk_and_emit(
             p: _Payload = join.payload
             if p.kind == "contig":
                 seq = contigs.get(p.contig_id)
+                crop_b = crops.get((p.contig_id, ContigPart.BEGIN), 0)
+                crop_e = crops.get((p.contig_id, ContigPart.END), 0)
+                seq = seq[crop_b : len(seq) - crop_e]
                 forward = node[1] == ContigPart.BEGIN
                 s = codes_to_seq(seq if forward else _rc(seq))
                 parts.append(("contig", s))
-                segs.append((pos_acc, pos_acc + len(s), "contig", p.contig_id, 0, forward))
-                agp_parts.append(("W", p.contig_id, len(seq), "+" if forward else "-"))
+                segs.append((pos_acc, pos_acc + len(s), "contig", p.contig_id,
+                             crop_b, forward))
+                agp_parts.append(("W", p.contig_id, crop_b, len(seq),
+                                  "+" if forward else "-"))
             elif p.kind == "unknown":
                 parts.append(("gap", "n" * p.gap_length))
                 segs.append((pos_acc, pos_acc + p.gap_length, "gap", 0, 0, True))
@@ -273,10 +293,10 @@ def _walk_and_emit(
         for ap in agp_parts:
             part_number += 1
             if ap[0] == "W":
-                _, cid, ln, orient = ap
+                _, cid, crop_b, ln, orient = ap
                 agp_rows.append("\t".join(map(str, (
                     obj, pos, pos + ln - 1, part_number, "W",
-                    contigs.names[cid - 1], 1, ln, orient,
+                    contigs.names[cid - 1], crop_b + 1, crop_b + ln, orient,
                 ))))
                 pos += ln
             elif ap[0] == "N":

@@ -61,6 +61,11 @@ class CollectConfig:
     existing_gap_bonus: float = 6.0
     min_spanning_reads: int = 3
     merge_extensions: bool = True
+    #: tolerated read-interval overlap between the two flank chains of a
+    #: gap candidate: overlapping-contig joins (closed by cropping at the
+    #: splice stage, ``insertions.d:107-284``) produce reads whose two
+    #: chains legitimately share up to the contig-overlap length
+    overlap_allowance: int = 2 * TRACE_SPACING
     #: bubble resolution (skipped short contigs): max cycle size / passes
     max_bubble_size: int = 12
     max_bubble_resolver_iterations: int = 5
@@ -201,8 +206,14 @@ def _filter_contained(ctx: ChainCtx) -> int:
     return n
 
 
-def _filter_ambiguous(ctx: ChainCtx) -> int:
-    """Discard reads where one read region aligns to multiple loci."""
+def _filter_ambiguous(ctx: ChainCtx, overlap_allowance: int = 0) -> int:
+    """Discard reads where one read region aligns to multiple loci.
+
+    ``overlap_allowance`` admits a bounded overlap between chains to
+    different loci — the signature of an overlapping-contigs join (the
+    splice stage resolves it by cropping); each chain still needs its own
+    ≥500bp unique anchor, so short shared edges cannot create false joins.
+    """
     n = 0
     by_read: dict[int, list[int]] = {}
     for k, ch in enumerate(ctx.chains):
@@ -214,16 +225,13 @@ def _filter_ambiguous(ctx: ChainCtx) -> int:
         order = sorted(range(len(ks)), key=lambda i: ivs[i])
         ambiguous = False
         group_end = -1
-        group_n = 0
         for i in order:
             b, e = ivs[i]
-            if b < group_end:  # overlaps current group
-                group_n += 1
+            if b + overlap_allowance < group_end:  # overlaps current group
                 ambiguous = True
                 group_end = max(group_end, e)
             else:
-                group_end = e
-                group_n = 1
+                group_end = max(group_end, e)
         if ambiguous:
             for k in ks:
                 ctx.disabled[k] = True
@@ -300,7 +308,9 @@ class ReadAlignmentRep:
 
 
 def collect_read_alignments(ctx: ChainCtx, chain_idxs: list[int],
-                            start_allowance: int = TRACE_SPACING) -> list[ReadAlignmentRep]:
+                            start_allowance: int = TRACE_SPACING,
+                            overlap_allowance: int = 2 * TRACE_SPACING,
+                            ) -> list[ReadAlignmentRep]:
     """``collectReadAlignments`` (``pileups.d:821-888``) for one read.
 
     `start_allowance`: the reference tests ``beginRelToContigB > 0``
@@ -308,6 +318,11 @@ def collect_read_alignments(ctx: ChainCtx, chain_idxs: list[int],
     read base 0 exactly); our aligner may trim a few bases at the read
     start, so an unaligned prefix up to one trace interval does not count
     as an extension.
+
+    `overlap_allowance`: the reference rejects any read region used by
+    two chains; a bounded overlap is admitted here so overlapping-contig
+    joins (resolved by cropping at the splice stage) keep their spanning
+    reads.
     """
     seeded: list[tuple[int, int, int, SeededChain]] = []  # (b_fwd_begin, b_fwd_end, seed_rel, sc)
     for k in chain_idxs:
@@ -321,9 +336,10 @@ def collect_read_alignments(ctx: ChainCtx, chain_idxs: list[int],
         return []
     seeded.sort(key=lambda t: t[:3])
 
-    # no region of the read may be used twice (by different chains)
+    # no region of the read may be used twice (by different chains),
+    # modulo the bounded overlap of overlapping-contig joins
     for (b1, e1, _, s1), (b2, e2, _, s2) in zip(seeded, seeded[1:]):
-        if e1 > b2 and s1.chain_idx != s2.chain_idx:
+        if e1 > b2 + overlap_allowance and s1.chain_idx != s2.chain_idx:
             return []
 
     start_with_extension = seeded[0][0] > start_allowance
@@ -403,7 +419,7 @@ def collect_pile_ups(
         "improper": _filter_improper(ctx, cfg),
         "weaklyAnchored": _filter_weakly_anchored(ctx, cfg, repeats),
         "contained": _filter_contained(ctx),
-        "ambiguous": _filter_ambiguous(ctx),
+        "ambiguous": _filter_ambiguous(ctx, cfg.overlap_allowance),
         "redundant": _filter_redundant(ctx),
     }
     log_json("info", event="filterAlignments", disabled=counts,
@@ -416,7 +432,8 @@ def collect_pile_ups(
             by_read.setdefault(ch.b_id, []).append(k)
     joins: list[Join] = []
     for read_id in sorted(by_read):
-        for rep in collect_read_alignments(ctx, by_read[read_id]):
+        for rep in collect_read_alignments(ctx, by_read[read_id],
+                                           overlap_allowance=cfg.overlap_allowance):
             start, end = rep.make_join_nodes(ctx)
             joins.append(Join(start, end, ScaffoldPayload.pile_up([rep])))
     for gap in input_gaps:

@@ -295,12 +295,29 @@ def _splice(prep: _Prepared, cons, contigs: SeqStore,
 
     if is_gap:
         q1, q2 = q[0][1], q[1][0]
-        if q2 < q1:
-            log_json("warn", event="pileUpSkipped", reason="contigsOverlap",
-                     q1=q1, q2=q2, start=list(prep.start), end=list(prep.end))
-            return None
-        ins_seq = seq[q1:q2]
         err = max(q[0][2], q[1][2]) / max(cfg.anchor_probe, 1)
+        if q2 < q1:
+            # The consensus implies the flank contigs overlap: the entering
+            # contig's gap-facing edge lies (q1 - q2) bases before the
+            # leaving contig's edge.  The reference crops the contigs at
+            # the overlap boundaries instead of dropping the join
+            # (``processPileUps/package.d:621-769``, ``insertions.d:107-284``);
+            # here the entering flank is trimmed by the overlap and the
+            # insertion is empty.
+            overlap = q1 - q2
+            entering_len = int(len(contigs.get(sides[1][0])))
+            if overlap >= entering_len - cfg.anchor_probe:
+                log_json("warn", event="pileUpSkipped",
+                         reason="contigFullyCropped", overlap=overlap,
+                         start=list(prep.start), end=list(prep.end))
+                return None
+            log_json("info", event="contigsOverlapCropped", overlap=overlap,
+                     start=list(prep.start), end=list(prep.end))
+            return Insertion(sides[0], sides[1], np.empty(0, np.uint8),
+                             prep.read_ids, error=err,
+                             n_reads=len(prep.cropped),
+                             crop_end_node=overlap)
+        ins_seq = seq[q1:q2]
         return Insertion(sides[0], sides[1], ins_seq, prep.read_ids, error=err,
                          n_reads=len(prep.cropped))
     else:

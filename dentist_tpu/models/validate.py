@@ -34,8 +34,9 @@ class ValidateConfig:
     min_coverage_reads: int = 0  # derive via validation_min_coverage()
     min_spanning_reads: int = 3
     proper_allowance: int = TRACE_SPACING
-    #: margin around the region a spanning read must cover
-    region_context: int = 100
+    #: context added to both region sides for the window sweep
+    #: (``commandline.d:2404-2411``, default 1000)
+    region_context: int = 1000
 
 
 @dataclass
@@ -88,24 +89,44 @@ def validate_regions(
     for tag, begin, end in regions.iv:
         tag, begin, end = int(tag), int(begin), int(end)
         a_len = int(contig_lengths[tag - 1])
-        ctx_lo = max(0, begin - W)
-        ctx_hi = min(a_len, end + W)
+        ctx_lo = max(0, begin - cfg.region_context)
+        ctx_hi = min(a_len, end + cfg.region_context)
         cover = [(ab, ae) for (aid, ab, ae, _) in spans if aid == tag]
+        # (b) the region WITHOUT context spanned by proper reads
         n_span = sum(
             1 for (aid, ab, ae, proper) in spans
-            if aid == tag and proper
-            and ab <= max(0, begin - cfg.region_context)
-            and ae >= min(a_len, end + cfg.region_context)
+            if aid == tag and proper and ab <= begin and ae >= end
         )
+        # (a) every 1bp-sliding window of size W inside [ctx_lo, ctx_hi)
+        # must be fully SPANNED by ≥ min_coverage_reads alignments
+        # (``validateRegions.d:453-501``): an alignment [ab, ae) spans
+        # windows starting at x ∈ [ab, ae - W], so the per-start spanning
+        # count is a difference array over window starts.
         weak = []
-        x = ctx_lo
-        while x < ctx_hi:
-            w_end = min(x + W, ctx_hi)
-            cov = sum(1 for ab, ae in cover if ab < w_end and ae > x and
-                      (min(ae, w_end) - max(ab, x)) >= (w_end - x) // 2)
+        n_starts = (ctx_hi - ctx_lo) - W + 1
+        if n_starts <= 0:
+            # region (plus context) shorter than one window: single
+            # truncated window over the whole context
+            cov = sum(1 for ab, ae in cover if ab <= ctx_lo and ae >= ctx_hi)
             if cov < cfg.min_coverage_reads:
-                weak.append((x, w_end))
-            x += W
+                weak.append((ctx_lo, ctx_hi))
+        else:
+            diff = np.zeros(n_starts + 1, dtype=np.int64)
+            for ab, ae in cover:
+                lo = max(ab, ctx_lo) - ctx_lo
+                hi = min(ae - W, ctx_hi - W) - ctx_lo
+                if hi >= lo and lo < n_starts:
+                    diff[lo] += 1
+                    diff[min(hi, n_starts - 1) + 1] -= 1
+            f = np.cumsum(diff[:-1])
+            weak_x = f < cfg.min_coverage_reads
+            # merge weak window starts into intervals [run_lo, run_hi + W)
+            if weak_x.any():
+                brk = np.flatnonzero(np.diff(weak_x.astype(np.int8)))
+                edges = np.concatenate([[0], brk + 1, [n_starts]])
+                for s, e in zip(edges[:-1], edges[1:]):
+                    if weak_x[s]:
+                        weak.append((ctx_lo + int(s), ctx_lo + int(e) - 1 + W))
         is_valid = n_span >= cfg.min_spanning_reads and not weak
         cids = None
         if region_contig_ids:

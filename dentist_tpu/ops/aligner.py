@@ -35,9 +35,11 @@ from .seeding import KmerIndex, SeedCandidate, cluster_seeds
 
 __all__ = ["AlignerConfig", "Aligner", "align_store_pair"]
 
-#: window-length buckets; capped at 32256 so band centers fit int16
-#: (cheap host→device transfer)
-_BUCKETS = [2 * TRACE_SPACING * (1 << i) for i in range(8)]  # 252 .. 32256
+#: window-length buckets; factor-3 steps (≤3× padded compute, which is
+#: latency-cheap) keep the compiled-shape count low — with two lane
+#: buckets and a fixed schedule count the whole engine compiles ~10
+#: programs; capped at 32256 so band centers fit int16
+_BUCKETS = [504, 1512, 4536, 13608, 32256]
 
 
 @dataclass
@@ -60,6 +62,8 @@ class AlignerConfig:
     query_stride: int = 2
     #: overlap fraction (A and B) above which two LAs are duplicates
     dedup_overlap: float = 0.5
+    #: host seeding thread-pool size (lookups overlap device dispatches)
+    seed_threads: int = 4
 
 
 def _bucket_for(r: int) -> int:
@@ -71,8 +75,8 @@ def _bucket_for(r: int) -> int:
 
 _SLOPE_MIN, _SLOPE_MAX = 0.7, 1.4
 #: lane-count sub-buckets: small flushes dispatch with few padded lanes
-#: (3 compiled shapes per window bucket instead of one full-width one)
-_LANE_BUCKETS = (8, 32, 128)
+#: (2 compiled shapes per window bucket instead of one full-width one)
+_LANE_BUCKETS = (32, 128)
 
 
 def _slope_bin_width(bucket: int, W: int) -> float:
@@ -210,11 +214,11 @@ class Aligner:
         lane_k = np.concatenate([
             np.full(len(bins[b]), ki, dtype=np.int32) for ki, b in enumerate(taken)
         ])
-        # K padded to a power of two matching the populated groups: the
-        # kernel pays K dynamic slices per row, so don't pay for empty ones
-        K = 1
-        while K < len(taken):
-            K *= 2
+        # K fixed at _KMAX: the schedule count is baked into the compiled
+        # shape, and a handful of extra dynamic slices per row is cheaper
+        # than compiling (and cache-loading, over the device tunnel) a
+        # per-K program variant
+        K = self._KMAX
         offs_k = np.zeros((R + 1, K), dtype=np.int32)
         rows = np.arange(R + 1, dtype=np.int64)
         for ki, b in enumerate(taken):
@@ -297,19 +301,38 @@ class Aligner:
 
     def align_queries(self, queries: list[np.ndarray], ids: list[int],
                       exclude_identity: bool = False, chunk: int = 32):
-        """Batched enqueue: chunked two-strand lookups amortize host cost."""
+        """Batched enqueue: chunked two-strand lookups amortize host cost.
+
+        Lookups run on a small thread pool (NumPy releases the GIL in the
+        bucket-table gathers) so host seeding overlaps both itself and the
+        in-flight device dispatches — the host k-mer lookup is half the
+        steady-state wall-clock otherwise.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
-        for c0 in range(0, len(queries), chunk):
-            qs = queries[c0 : c0 + chunk]
-            qids = ids[c0 : c0 + chunk]
+
+        def do_lookup(qs):
             fwd = self.index.lookup_batch(qs, max_occ=cfg.max_occ,
                                           stride=cfg.query_stride)
             rcs = [reverse_complement(q) for q in qs]
             rev = self.index.lookup_batch(rcs, max_occ=cfg.max_occ,
                                           stride=cfg.query_stride)
-            for q, qid, sf, sr in zip(qs, qids, fwd, rev):
-                self.align_query(q, qid, exclude_identity=exclude_identity,
-                                 seeds={False: sf, True: sr})
+            return fwd, rev
+
+        chunks = [(queries[c0 : c0 + chunk], ids[c0 : c0 + chunk])
+                  for c0 in range(0, len(queries), chunk)]
+        ahead = 2 * cfg.seed_threads  # bound in-flight seed-array memory
+        with ThreadPoolExecutor(max_workers=cfg.seed_threads) as ex:
+            futures = [ex.submit(do_lookup, qs) for qs, _ in chunks[:ahead]]
+            for ci, (qs, qids) in enumerate(chunks):
+                fwd, rev = futures[ci].result()
+                futures[ci] = None
+                if ci + ahead < len(chunks):
+                    futures.append(ex.submit(do_lookup, chunks[ci + ahead][0]))
+                for q, qid, sf, sr in zip(qs, qids, fwd, rev):
+                    self.align_query(q, qid, exclude_identity=exclude_identity,
+                                     seeds={False: sf, True: sr})
 
     def finish(self) -> LocalAlignmentSet:
         """Flush pending jobs and assemble the alignment set.

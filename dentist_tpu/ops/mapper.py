@@ -92,7 +92,14 @@ def map_reads(
         for ch in chs + [None]:
             if ch is not None:
                 b, e = b_fwd(ch)
-                if not group or b < group_end:
+                # chains compete only when they claim substantially the
+                # same read region (repeat-induced alternatives); a short
+                # boundary overlap — e.g. the two flank chains of an
+                # overlapping-contigs join — is NOT competition
+                ov = group_end - b
+                substantial = group and ov > 0 and (
+                    ov * 2 > min(e - b, group_end - b_fwd(group[-1])[0]))
+                if not group or substantial:
                     group.append(ch)
                     group_end = max(group_end, e)
                     continue
