@@ -4,15 +4,21 @@ and mask propagation through alignments.
 Replaces DBdust / datander+TANmask / ``dentist mask-repetitive-regions`` /
 ``dentist propagate-mask`` (SURVEY §2.3, §2.2):
 
-- :func:`dust_mask` — windowed low-complexity detection.  DBdust's SDUST
-  scores triplet multiplicity in 64-bp windows; here the equivalent
-  signal is the *previous-occurrence distance* of short k-mers: a base
-  whose k-mer recurred within ``max_dist`` bp is low-complexity.  Fully
-  vectorized (one sort per store).
-- :func:`tandem_mask` — same periodicity signal with a longer k and unit
-  bound: a sustained run of k-mers whose previous occurrence lies within
-  ``max_unit`` bp is a tandem array (datander's near-diagonal
-  self-alignment finds exactly these regions).
+- :func:`dust_mask` — SDUST windowed triplet scoring (the algorithm
+  inside DBdust, which the reference shells out to via ``dbdust``,
+  ``dazzler.d:3813-3817``): a window is low-complexity when its triplet
+  pair count ``Σ_t c_t(c_t−1)/2`` exceeds ``threshold × (l−1)`` where
+  ``l`` is the triplet count of the window (DBdust defaults: 64-bp
+  window, threshold 2.0, min interval 10).  Vectorized via per-triplet
+  pair-range scatter instead of the serial sliding window.
+- :func:`tandem_mask` — datander + TANmask semantics
+  (``dazzler.d:5855-5881``, ``Snakefile:1056-1123``): self-align each
+  sequence against itself restricted to near-diagonal bands using the
+  production banded trace-point kernel (k=12, min alignment 500 bp,
+  ≤30 % error — the reference's datander invocation,
+  ``commandline.d:2865-2876``), then mask
+  the union span ``[b_begin, a_end)`` of every self-alignment whose A
+  and B intervals overlap (TANmask), keeping intervals ≥ 500 bp.
 - :func:`coverage_mask` — the reference ``BadAlignmentCoverageAssessor``
   (``commands/maskRepetitiveRegions.d:246-540``): mask every region whose
   alignment coverage is outside ``[lower, upper]``, merging adjacent
@@ -50,76 +56,71 @@ __all__ = [
 ]
 
 
-def _prev_occurrence_distance(km: np.ndarray) -> np.ndarray:
-    """Distance to the previous occurrence of each k-mer (or a large value)."""
-    n = len(km)
-    dist = np.full(n, np.iinfo(np.int64).max // 2, dtype=np.int64)
-    if n == 0:
-        return dist
-    pos = np.arange(n)
-    order = np.lexsort((pos, km))
-    km_s, pos_s = km[order], pos[order]
-    same = km_s[1:] == km_s[:-1]
-    d = pos_s[1:] - pos_s[:-1]
-    dist[pos_s[1:][same]] = d[same]
-    return dist
+def _sdust_windows(tri: np.ndarray, window: int, threshold: float) -> np.ndarray:
+    """SDUST window scores → boolean "dusty" flag per window end.
 
-
-def _periodicity_mask(
-    codes: np.ndarray,
-    offsets: np.ndarray,
-    lengths: np.ndarray,
-    k: int,
-    max_dist: int,
-    close_gap: int,
-    min_size: int,
-    expand_to_prev: bool,
-) -> Region:
-    """Shared machinery: mark bases whose k-mer recurs within max_dist.
-
-    With ``expand_to_prev`` the marked interval reaches back to the
-    previous occurrence (covering whole tandem units); otherwise only the
-    k-mer itself is marked (dust mode — random isolated hits stay below
-    ``min_size`` and vanish).
+    The DUST score of a window is ``Σ_t c_t(c_t−1)/2`` — the number of
+    equal-triplet *pairs* inside it.  Each pair ``(p, q)`` (triplet
+    indices, ``p < q``, ``q − p ≤ l−1`` where ``l = window − 2``)
+    contributes to exactly the windows ending at ``e ∈ [q, p + l − 1]``,
+    so the per-end scores are a prefix sum over a pair-range difference
+    array — no serial sliding window.  Windows at the sequence start are
+    truncated (length ``e + 1``) with the threshold scaled accordingly,
+    matching the growing-window behavior at sequence boundaries.
     """
-    triples = []
-    for i, (o, L) in enumerate(zip(offsets, lengths)):
-        seq = codes[o : o + L]
-        km = kmer_codes(seq, k)
-        if len(km) == 0:
+    nt = len(tri)
+    l = window - 2
+    if nt == 0:
+        return np.zeros(0, dtype=bool)
+    diff = np.zeros(nt + l + 1, dtype=np.int64)
+    order = np.argsort(tri, kind="stable")  # groups by triplet, pos ascending
+    tri_s = tri[order]
+    starts = np.flatnonzero(np.r_[True, tri_s[1:] != tri_s[:-1]])
+    bounds = np.r_[starts, nt]
+    for gi in range(len(starts)):  # ≤ 64 distinct triplets
+        P = order[bounds[gi] : bounds[gi + 1]]
+        if len(P) < 2:
             continue
-        dist = _prev_occurrence_distance(km)
-        hit = dist <= max_dist
-        pos = np.flatnonzero(hit)
-        if len(pos) == 0:
-            continue
-        beg = np.maximum(pos - dist[pos], 0) if expand_to_prev else pos
-        end = np.minimum(pos + k, L)
-        tags = np.full(len(pos), i + 1, dtype=np.int64)
-        triples.append(np.stack([tags, beg, end], axis=1))
-    if not triples:
-        return Region()
-    region = Region(np.concatenate(triples))
-    return region.close_gaps(close_gap).filter_min_size(min_size)
+        idx = np.arange(len(P))
+        pred = idx - np.searchsorted(P, P - (l - 1))
+        succ = np.searchsorted(P, P + (l - 1), side="right") - idx - 1
+        diff[P] += pred          # pair contribution begins at e = q
+        diff[P + l] -= succ      # and ends after e = p + l − 1
+    score = np.cumsum(diff)[:nt]
+    l_e = np.minimum(np.arange(nt) + 1, l)
+    return score > threshold * np.maximum(l_e - 1, 1)
 
 
 def dust_mask(
     codes: np.ndarray,
     offsets: np.ndarray,
     lengths: np.ndarray,
-    k: int = 3,
-    max_dist: int = 4,
-    close_gap: int = 3,
-    min_size: int = 16,
+    window: int = 64,
+    threshold: float = 2.0,
+    min_size: int = 10,
 ) -> Region:
-    """Low-complexity mask (DBdust equivalent).  Tags are 1-based seq ids.
+    """Low-complexity mask with SDUST windowed triplet scoring.
 
-    Catches homopolymers and 1–4 bp unit microsatellites: a 3-mer whose
-    previous occurrence is ≤ 4 bp away recurs with unit ≤ 4.  Random hits
-    (P ≈ 4/64 per base) never form runs ≥ min_size.
+    DBdust semantics and defaults (the reference's ``dbdust``,
+    ``dazzler.d:3796-3817``): 64-bp windows, threshold 2.0, minimum
+    masked interval 10 bp.  A window is dusty when its triplet pair
+    count exceeds ``threshold × (l − 1)``; dusty windows are marked
+    whole and merged.  Tags are 1-based sequence ids.
     """
-    return _periodicity_mask(codes, offsets, lengths, k, max_dist, close_gap,
-                             min_size, expand_to_prev=False)
+    triples = []
+    l = window - 2
+    for i, (o, L) in enumerate(zip(offsets, lengths)):
+        tri = kmer_codes(codes[o : o + L], 3)
+        dusty = np.flatnonzero(_sdust_windows(tri, window, threshold))
+        if len(dusty) == 0:
+            continue
+        beg = np.maximum(dusty - l + 1, 0)
+        end = np.minimum(dusty + 3, L)
+        tags = np.full(len(dusty), i + 1, dtype=np.int64)
+        triples.append(np.stack([tags, beg, end], axis=1))
+    if not triples:
+        return Region()
+    return Region(np.concatenate(triples)).filter_min_size(min_size)
 
 
 def tandem_mask(
@@ -127,13 +128,74 @@ def tandem_mask(
     offsets: np.ndarray,
     lengths: np.ndarray,
     k: int = 12,
-    max_unit: int = 500,
-    close_gap: int = 64,
-    min_size: int = 120,
+    max_unit: int = 4000,
+    min_alignment: int = 500,
+    max_error: float = 0.30,
+    min_size: int = 500,
+    config=None,
 ) -> Region:
-    """Tandem-repeat mask (datander + TANmask equivalent)."""
-    return _periodicity_mask(codes, offsets, lengths, k, max_unit, close_gap,
-                             min_size, expand_to_prev=True)
+    """Tandem-repeat mask by banded self-alignment (datander + TANmask).
+
+    Each sequence is aligned against itself on the near-diagonal bands
+    only: seeds are consecutive same-k-mer occurrence pairs at distance
+    ``(0, max_unit]`` (the tandem unit), extended with the production
+    banded trace-point kernel at the reference's datander invocation (``-k12 -l<minAnchorLength=500>
+    -e<1-maxAlignmentError=.70>``, ``commandline.d:2865-2876,2036``).  TANmask semantics turn the
+    resulting self-alignments into mask intervals: whenever the A and B
+    intervals of a self-alignment overlap or touch (``b_end ≥
+    a_begin``), the array span ``[b_begin, a_end)`` is masked; merged
+    intervals below ``min_size`` (TANmask ``-l500`` default) are
+    dropped.  Tags are 1-based sequence ids.
+    """
+    from ..ops.aligner import Aligner, AlignerConfig
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+
+    class _MetaIndex:
+        """Store metadata shim: the self-alignment seeds are injected, so
+        no k-mer table is built (mirrors :class:`KmerIndex`'s surface)."""
+
+        def __init__(self):
+            self.offsets, self.lengths = offsets, lengths
+
+        def seq_id_of(self, global_pos):
+            return np.searchsorted(self.offsets, global_pos,
+                                   side="right").astype(np.int64)
+
+    cfg = config or AlignerConfig(k=k, min_length=min_alignment,
+                                  max_error=max_error)
+    aligner = Aligner(_MetaIndex(), codes, cfg)
+    for i, (o, L) in enumerate(zip(offsets, lengths)):
+        seq = codes[o : o + L]
+        km = kmer_codes(seq, k)
+        if len(km) == 0:
+            continue
+        order = np.argsort(km, kind="stable")
+        km_s = km[order]
+        pos_s = order.astype(np.int64)
+        same = km_s[1:] == km_s[:-1]
+        d = pos_s[1:] - pos_s[:-1]
+        m = same & (d >= 1) & (d <= max_unit)
+        if not m.any():
+            continue
+        # A is the later copy: diag = a − b = unit ∈ (0, max_unit]
+        a_pos = o + pos_s[1:][m]
+        b_pos = pos_s[:-1][m]
+        aligner.align_query(seq, i + 1, strands=(False,),
+                            seeds={False: (a_pos, b_pos)}, self_tandem=True)
+    las = aligner.finish()
+    if len(las) == 0:
+        return Region()
+    tandem = las.b_end >= las.a_begin  # A/B intervals overlap or touch
+    if not tandem.any():
+        return Region()
+    triples = np.stack([
+        las.a_id[tandem],
+        np.minimum(las.b_begin[tandem], las.a_begin[tandem]),
+        np.maximum(las.a_end[tandem], las.b_end[tandem]),
+    ], axis=1).astype(np.int64)
+    return Region(triples).filter_min_size(min_size)
 
 
 def chain_intervals(las: LocalAlignmentSet, chains: list[Chain]) -> np.ndarray:

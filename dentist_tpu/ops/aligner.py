@@ -97,6 +97,9 @@ class _Job:
     b_rem: int  # valid B length in this direction
     slope: float  # seed-estimated b-advance per a-advance
     r_valid: int
+    #: >0: self-alignment with this identity-diagonal offset (a0 − b0);
+    #: the kernel excludes the identity diagonal for these lanes
+    self_unit: int = 0
 
 
 @dataclass
@@ -133,8 +136,14 @@ class Aligner:
         o = self.index.offsets[a_id - 1]
         return self.target_codes[o : o + self.index.lengths[a_id - 1]]
 
-    def _make_jobs(self, cand: SeedCandidate, b_codes: np.ndarray, b_id: int):
-        """Anchor a candidate and enqueue forward/backward extension jobs."""
+    def _make_jobs(self, cand: SeedCandidate, b_codes: np.ndarray, b_id: int,
+                   self_tandem: bool = False):
+        """Anchor a candidate and enqueue forward/backward extension jobs.
+
+        ``self_tandem``: the query IS the target sequence (datander
+        mode); jobs carry the identity-diagonal offset so the kernel
+        cannot align the sequence to itself.
+        """
         cfg = self.cfg
         W = cfg.band_width
         a_seq = self._target_seq(cand.a_seq)
@@ -161,6 +170,12 @@ class Aligner:
         a0 = int(candidates_a0[pick])
         b0 = int(b_interp[pick])
 
+        self_unit = 0
+        if self_tandem:
+            self_unit = a0 - b0
+            if self_unit < 1:
+                return  # anchor on/past the identity diagonal: not a tandem
+
         ci = len(self._cands)
         self._cands.append(
             _CandState(cand.a_seq, b_id, cand.complement, a0, b0, cand.n_seeds)
@@ -178,12 +193,12 @@ class Aligner:
         r_f = int(min(a_rem, b_rem / slope + W, _BUCKETS[-1]))
         if r_f > 0:
             self._enqueue(_Job(ci, +1, a_seq[a0 : a0 + r_f], b_codes, b0, b_rem,
-                               slope, r_f))
+                               slope, r_f, self_unit))
         # backward job (mirrored coordinates)
         r_b = int(min(a0, b0 / slope + W, _BUCKETS[-1]))
         if r_b > 0:
             self._enqueue(_Job(ci, -1, a_seq[a0 - r_b : a0][::-1], b_codes, b0, b0,
-                               slope, r_b))
+                               slope, r_b, self_unit))
 
     def _enqueue(self, job: _Job):
         key = _bucket_for(job.r_valid)
@@ -235,12 +250,21 @@ class Aligner:
         if self.mesh is not None:  # lanes shard evenly over the dp axis
             N = -(-N // self.mesh.size) * self.mesh.size
         lane_k = np.concatenate([lane_k, np.zeros(N - len(jobs), dtype=np.int32)])
+        from .banded import DIAG_UNBOUNDED
+
         BW = int(_SLOPE_MAX * R) + 2 * W + 8
         a_win = np.zeros((N, R), dtype=np.uint8)
         b_win = np.zeros((N, BW), dtype=np.uint8)
         a_lens = np.zeros(N, dtype=np.int32)
         b_lens = np.zeros(N, dtype=np.int32)
+        diag_lo = np.full(N, -DIAG_UNBOUNDED, dtype=np.int32)
+        diag_hi = np.full(N, DIAG_UNBOUNDED, dtype=np.int32)
         for n, j in enumerate(jobs):
+            if j.self_unit > 0:  # exclude the identity diagonal
+                if j.direction > 0:
+                    diag_hi[n] = j.self_unit - 1
+                else:
+                    diag_lo[n] = -(j.self_unit - 1)
             a_win[n, : j.r_valid] = j.a_chars
             a_lens[n] = j.r_valid
             b_span = int(offs_k[-1, lane_k[n]]) + W
@@ -257,7 +281,8 @@ class Aligner:
                 b_win[n, lead : lead + len(rev)] = rev
         # async dispatch: device computes while the host seeds more reads
         out = extend_batch_multi_async(a_win, b_win, a_lens, b_lens, offs_k,
-                                       lane_k, W=W, mesh=self.mesh)
+                                       lane_k, W=W, mesh=self.mesh,
+                                       diag_lo=diag_lo, diag_hi=diag_hi)
         self._inflight.append((jobs, out))
 
     def _drain(self):
@@ -277,11 +302,14 @@ class Aligner:
     def align_query(self, b_codes: np.ndarray, b_id: int,
                     exclude_identity: bool = False,
                     strands: tuple = (False, True),
-                    seeds: dict | None = None):
+                    seeds: dict | None = None,
+                    self_tandem: bool = False):
         """Enqueue all candidates of one query (both strands by default).
 
         `seeds` optionally supplies precomputed {strand: (a_pos, b_pos)}
-        from a batched lookup.
+        from a batched lookup.  ``self_tandem`` marks the query as the
+        target sequence itself (datander mode: identity diagonal
+        excluded in the extension kernel).
         """
         cfg = self.cfg
         for comp in strands:
@@ -297,7 +325,7 @@ class Aligner:
                 exclude_identity_seq=b_id if exclude_identity else None,
             )
             for cand in cands:
-                self._make_jobs(cand, q, b_id)
+                self._make_jobs(cand, q, b_id, self_tandem=self_tandem)
 
     def align_queries(self, queries: list[np.ndarray], ids: list[int],
                       exclude_identity: bool = False, chunk: int = 32):

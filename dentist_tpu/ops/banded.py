@@ -40,16 +40,26 @@ __all__ = ["extend_batch", "extend_batch_multi_async", "sharded_extend_v3",
 
 DIFF_PENALTY = 6  # score = advance - 6*diffs → break-even at ~33% error
 INF = np.int32(1 << 28)
+#: diag_lo/diag_hi sentinel: larger than any band coordinate
+DIAG_UNBOUNDED = np.int32(1 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
-def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len, W: int):
+def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
+                    diag_lo, diag_hi, W: int):
     """Multi-schedule variant of :func:`_extend_scan_v2`.
 
     ``offs_k`` is (R+1, K): K linear band schedules per flush; ``lane_k``
     (N,) picks each lane's schedule.  One dispatch serves every slope
     group of a window bucket — K scalar-start dynamic slices per row plus
     per-lane selects replace K separate (fragmented, padded) dispatches.
+
+    ``diag_lo``/``diag_hi`` (N,) bound each lane's allowed diagonal
+    ``j − r``: cells outside are infeasible.  Self-alignment (tandem)
+    lanes use this to exclude the identity diagonal, which would
+    otherwise win every comparison of a sequence against itself
+    (datander's split-DP has the same constraint); ordinary lanes pass
+    ``±DIAG_UNBOUNDED``.
     """
     a_chars = a_chars.astype(jnp.int32)
     b_win = b_win.astype(jnp.int32)
@@ -58,10 +68,13 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len, W: int):
     BW = b_win.shape[1]
     p = jnp.arange(W, dtype=jnp.int32)
     lane_k = lane_k.astype(jnp.int32)
+    diag_lo = diag_lo.astype(jnp.int32)[:, None]
+    diag_hi = diag_hi.astype(jnp.int32)[:, None]
 
     off0 = offs_k[0][lane_k]  # (N,)
     j0 = off0[:, None] + p[None, :]
-    D0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), j0, INF).astype(jnp.int32)
+    ok0 = (j0 >= 0) & (j0 <= b_len[:, None]) & (j0 >= diag_lo) & (j0 <= diag_hi)
+    D0 = jnp.where(ok0, j0, INF).astype(jnp.int32)
 
     def body(carry, xs):
         D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
@@ -85,7 +98,8 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len, W: int):
 
         diag = jnp.where(j >= 1, E1 + sub, INF)
         tmp = jnp.minimum(diag, E + 1)
-        valid = (j >= 0) & (j <= b_len[:, None])
+        valid = ((j >= 0) & (j <= b_len[:, None])
+                 & (j - r >= diag_lo) & (j - r <= diag_hi))
         tmp = jnp.where(valid, tmp, INF)
         closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
         D = jnp.minimum(tmp, closed + p[None, :])
@@ -154,15 +168,17 @@ def sharded_extend_v3(mesh, W: int):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, "dp"), P("dp", None), P("dp"), P(), P("dp"), P("dp")),
+        in_specs=(P(None, "dp"), P("dp", None), P("dp"), P(), P("dp"), P("dp"),
+                  P("dp"), P("dp")),
         out_specs=(P(), P(), P(), P(), P(), P()),
         # outputs are replicated by the trailing all_gather; the static
         # varying-axis checker cannot infer that
         check_vma=False,
     )
-    def step(a_chars, b_win, b_len, offs_k, lane_k, a_len):
+    def step(a_chars, b_win, b_len, offs_k, lane_k, a_len, diag_lo, diag_hi):
         best_r, best_j, best_d, best_s, trace_j, trace_d = _extend_scan_v3(
-            a_chars, b_win, b_len, offs_k, lane_k, a_len, W=W)
+            a_chars, b_win, b_len, offs_k, lane_k, a_len, diag_lo, diag_hi,
+            W=W)
         ag = lambda x, axis: jax.lax.all_gather(x, "dp", axis=axis, tiled=True)
         return (ag(best_r, 0), ag(best_j, 0), ag(best_d, 0), ag(best_s, 0),
                 ag(trace_j, 1), ag(trace_d, 1))
@@ -172,13 +188,20 @@ def sharded_extend_v3(mesh, W: int):
 
 
 def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
-                             W: int = 256, mesh=None):
+                             W: int = 256, mesh=None, diag_lo=None,
+                             diag_hi=None):
     """Dispatch the multi-schedule extension (see ``_extend_scan_v3``).
 
     With ``mesh`` (>1 device) the dispatch runs data-parallel over the
     mesh's ``dp`` axis; lanes must be padded to a multiple of the mesh
-    size by the caller.
+    size by the caller.  ``diag_lo``/``diag_hi`` optionally bound each
+    lane's allowed diagonal (self-alignment identity exclusion).
     """
+    N = len(b_len)
+    if diag_lo is None:
+        diag_lo = np.full(N, -DIAG_UNBOUNDED, dtype=np.int32)
+    if diag_hi is None:
+        diag_hi = np.full(N, DIAG_UNBOUNDED, dtype=np.int32)
     args = (
         jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
         jnp.asarray(b_win, dtype=jnp.uint8),
@@ -186,6 +209,8 @@ def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
         jnp.asarray(offs_k, dtype=jnp.int32),
         jnp.asarray(lane_k, dtype=jnp.int32),
         jnp.asarray(a_len, dtype=jnp.int32),
+        jnp.asarray(diag_lo, dtype=jnp.int32),
+        jnp.asarray(diag_hi, dtype=jnp.int32),
     )
     if mesh is not None and mesh.size > 1:
         return sharded_extend_v3(mesh, W)(*args)

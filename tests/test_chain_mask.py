@@ -190,3 +190,45 @@ def test_chain_intervals():
     chains, las2 = chain_local_alignments(las)
     iv = chain_intervals(las2, chains)
     assert iv.tolist() == [[1, 100, 2000]]
+
+
+def test_sdust_scoring_exact():
+    """SDUST window score = Σ c_t(c_t−1)/2 over the window's triplets,
+    dusty iff score > threshold·(l−1) — checked against a brute-force
+    sliding window."""
+    from dentist_tpu.models.mask import _sdust_windows
+    from dentist_tpu.ops.seeding import kmer_codes
+
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, 4, 300).astype(np.uint8)
+    seq[100:140] = np.tile([0, 1], 20)  # (AC)_20 microsatellite
+    tri = kmer_codes(seq, 3)
+    window, threshold = 64, 2.0
+    got = _sdust_windows(tri, window, threshold)
+    l = window - 2
+    for e in range(len(tri)):
+        w = tri[max(0, e - l + 1) : e + 1]
+        _, c = np.unique(w, return_counts=True)
+        score = int((c * (c - 1) // 2).sum())
+        expect = score > threshold * max(len(w) - 1, 1)
+        assert got[e] == expect, f"window end {e}: {score} vs {got[e]}"
+
+
+def test_tandem_mask_no_false_positive_on_random():
+    """Identity-diagonal exclusion: a random sequence with no tandem
+    array must produce an empty mask (the self-alignment may not ride
+    the main diagonal)."""
+    g = random_genome(8000, seed=77)
+    mask = tandem_mask(g, np.array([0]), np.array([8000]))
+    assert mask.size == 0, mask.iv.tolist()
+
+
+def test_tandem_mask_large_unit():
+    """A two-copy repeat with a 700-bp unit: the A/B intervals of the
+    unit-diagonal self-alignment touch, so TANmask semantics mask the
+    whole array."""
+    g = random_genome(6000, seed=78)
+    g = np.concatenate([g[:2000], g[2000:2700], g[2000:2700], g[2700:]])
+    mask = tandem_mask(g, np.array([0]), np.array([len(g)]))
+    assert any(b <= 2100 and e >= 3300 for _, b, e in mask.iv.tolist()), \
+        mask.iv.tolist()
