@@ -572,24 +572,18 @@ def cmd_generate_config(args):
 @command("check-scaffolding")
 def cmd_check_scaffolding(args):
     """Evaluate join correctness of the scaffolding
-    (``commands/checkScaffolding.d``): each pair of input contigs
-    adjacent in the result must be adjacent and equally oriented in the
-    true assembly."""
-    from .eval.check_results import check_results, GapState
+    (``commands/checkScaffolding.d``): every pair of input contigs
+    adjacent on the same result contig is classified
+    correct/novel/broken against the true assembly (see
+    :mod:`dentist_tpu.eval.check_scaffolding`)."""
+    from .eval.check_scaffolding import check_scaffolding
     from .io.fasta import read_fasta
 
     true_records = [r.codes for r in read_fasta(args.true_assembly)]
     store, structure = _load_assembly(args.test_assembly)
     result_records = [r.codes for r in read_fasta(args.result_assembly)]
-    stats = check_results(true_records, structure, store, result_records)
-    joined = [g for g in stats.gaps if g.state in (GapState.CLOSED, GapState.PARTIALLY_CLOSED)]
-    correct = [g for g in joined if g.identity >= 0.95 or g.state == GapState.PARTIALLY_CLOSED]
-    report = {
-        "numJoins": len(joined),
-        "numCorrectJoins": len(correct),
-        "numBrokenContigs": sum(1 for g in stats.gaps if g.state == GapState.BROKEN),
-    }
-    print(json.dumps(report))
+    report = check_scaffolding(true_records, structure, store, result_records)
+    print(json.dumps(report.to_json()))
 
 
 @command("validate-config")
@@ -660,7 +654,8 @@ def cmd_check_results(args):
     true_records = [r.codes for r in read_fasta(args.true_assembly)]
     store, structure = _load_assembly(args.test_assembly)
     result_records = [r.codes for r in read_fasta(args.result_assembly)]
-    stats = check_results(true_records, structure, store, result_records)
+    stats = check_results(true_records, structure, store, result_records,
+                          bucket_size=args.bucket_size)
     print(json.dumps(stats.to_json(), indent=None if args.json else 2))
 
 
@@ -776,7 +771,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("find-closable-gaps", A("assembly"), A("reads"),
         A("--min-spanning-reads", type=int, default=3))
     add("check-results", A("true_assembly"), A("test_assembly"), A("result_assembly"),
-        A("--json", "-j", action="store_true"))
+        A("--json", "-j", action="store_true"),
+        A("--bucket-size", type=int, default=500))
     add("pipeline", A("assembly"), A("reads"), A("out_assembly"),
         A("--read-coverage", type=float, default=None),
         A("--max-coverage-self", type=int, default=4),

@@ -2,24 +2,32 @@
 
 Re-expression of ``source/dentist/commands/checkResults.d``:
 
-- input contigs are located *exactly* in the true assembly (the
-  reference uses a C++ FM-index, ``checkResults.d:513``; here an exact
-  substring search — test contigs are verbatim slices of the truth),
+- input contigs are located *exactly* in the true assembly on either
+  strand (the reference uses a C++ FM-index and searches both
+  orientations, ``checkResults.d:513,2100-2135``; here the native
+  suffix-array locate),
+- duplicate test contigs (exact copies of another test contig,
+  ``findPerfectAlignments(refDb)`` → ``duplicateContigIds``,
+  ``checkResults.d:401-415``) are detected and their adjacent gaps
+  are ``ignored`` in the statistics,
 - each input gap is classified
-  ``unknown/broken/unclosed/partiallyClosed/closed``
+  ``unknown/broken/unclosed/partiallyClosed/closed/ignored``
   (``checkResults.d:239-253``),
 - closed gaps get a per-gap sequence identity from an edit-distance
   alignment of the inserted sequence against the true gap content (the
   reference shells out to EMBOSS ``stretcher``, ``checkResults.d:2059``),
-- summary statistics mirror the reference ``Stats``
-  (``checkResults.d:1744-1830``): numCorrectGaps at identity levels
-  [1.0, .999, .99, .95, .90, .70], closed/unclosed counts, N50s and
-  average insertion error.
+- summary statistics mirror the reference ``Stats`` field-for-field
+  (``checkResults.d:1744-1830``): bps expected/known/result/in-gaps,
+  translocated-gap count, correct gaps at identity levels
+  [1.0, .999, .99, .95, .90, .70], maximum/input/result N50 (all
+  relative to ``numBpsExpected``, ``checkResults.d:1479-1509``),
+  gap medians and extrema, and bucketed gap-length histograms
+  (``checkResults.d:1547-1580,1872-1890``).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 
 import numpy as np
@@ -31,6 +39,8 @@ __all__ = ["GapState", "GapResult", "ResultStats", "check_results"]
 
 IDENTITY_LEVELS = (1.0, 0.999, 0.99, 0.95, 0.90, 0.70)
 
+_COMP = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
+
 
 class GapState(Enum):
     UNKNOWN = "unknown"
@@ -38,6 +48,9 @@ class GapState(Enum):
     UNCLOSED = "unclosed"
     PARTIALLY_CLOSED = "partiallyClosed"
     CLOSED = "closed"
+    #: adjacent to a duplicate contig — excluded from the statistics
+    #: (``checkResults.d``: ``GapState.ignored``)
+    IGNORED = "ignored"
 
 
 @dataclass
@@ -52,52 +65,113 @@ class GapResult:
 
 @dataclass
 class ResultStats:
+    """Mirror of the reference ``Stats`` (``checkResults.d:1744-1775``)."""
+
     gaps: list[GapResult]
-    n50_input: int
-    n50_result: int
-    average_insertion_error: float
+    num_bps_expected: int = 0
+    num_bps_known: int = 0
+    num_bps_result: int = 0
+    num_translocated_gaps: int = 0
+    num_contigs_expected: int = 0
+    num_mapped_contigs: int = 0
+    maximum_n50: int = 0
+    n50_input: int = 0
+    n50_result: int = 0
+    average_insertion_error: float = 0.0
+    bucket_size: int = 500
+
+    def _counted(self) -> list[GapResult]:
+        return [g for g in self.gaps if g.state != GapState.IGNORED]
 
     @property
     def num_closed(self) -> int:
-        return sum(1 for g in self.gaps if g.state == GapState.CLOSED)
+        return sum(1 for g in self._counted() if g.state == GapState.CLOSED)
 
     @property
     def num_partially_closed(self) -> int:
-        return sum(1 for g in self.gaps if g.state == GapState.PARTIALLY_CLOSED)
+        return sum(1 for g in self._counted()
+                   if g.state == GapState.PARTIALLY_CLOSED)
+
+    @property
+    def num_bps_in_gaps(self) -> int:
+        return sum(g.true_length for g in self._counted())
 
     def num_correct(self, identity: float) -> int:
         return sum(
-            1 for g in self.gaps
+            1 for g in self._counted()
             if g.state == GapState.CLOSED and g.identity >= identity
         )
 
+    def _gap_lengths(self, state: GapState | None = None,
+                     min_identity: float | None = None) -> list[int]:
+        out = []
+        for g in self._counted():
+            if state is not None and g.state != state:
+                continue
+            if min_identity is not None and g.identity < min_identity:
+                continue
+            out.append(g.true_length)
+        return out
+
+    def _histogram(self, lengths: list[int]) -> list[int]:
+        if not lengths or self.bucket_size <= 0:
+            return []
+        n_buckets = max(l for l in lengths) // self.bucket_size + 1
+        counts = [0] * n_buckets
+        for l in lengths:
+            counts[l // self.bucket_size] += 1
+        return counts
+
+    def _hists_json(self) -> list[dict]:
+        """Reference ``histsToJson`` rows (``checkResults.d:1872-1890``):
+        one row per bucket with the counts of [correct@1.0, @.999, @.99,
+        @.95, closed, all] gap-length histograms."""
+        hists = [
+            self._histogram(self._gap_lengths(GapState.CLOSED, lvl))
+            for lvl in IDENTITY_LEVELS[:4]
+        ] + [
+            self._histogram(self._gap_lengths(GapState.CLOSED)),
+            self._histogram(self._gap_lengths()),
+        ]
+        n = max((len(h) for h in hists), default=0)
+        return [
+            {"limit": (i + 1) * self.bucket_size,
+             "counts": [h[i] if i < len(h) else 0 for h in hists]}
+            for i in range(n)
+        ]
+
+    @staticmethod
+    def _median(vals: list[int]):
+        return int(np.median(vals)) if vals else None
+
     def to_json(self) -> dict:
+        closed = self._gap_lengths(GapState.CLOSED)
         return {
-            "numGaps": len(self.gaps),
+            "numBpsExpected": self.num_bps_expected,
+            "numBpsKnown": self.num_bps_known,
+            "numBpsResult": self.num_bps_result,
+            "numBpsInGaps": self.num_bps_in_gaps,
+            "averageInsertionError": self.average_insertion_error,
+            "numTranslocatedGaps": self.num_translocated_gaps,
+            "numCorrectGaps": self.num_correct(1.0),
+            "numCorrectGapsPerIdentityLevel": {
+                str(l): self.num_correct(l) for l in IDENTITY_LEVELS},
+            "numContigsExpected": self.num_contigs_expected,
+            "numMappedContigs": self.num_mapped_contigs,
+            "numGaps": len(self._counted()),
             "numClosedGaps": self.num_closed,
             "numPartiallyClosedGaps": self.num_partially_closed,
-            "numCorrectGaps": {str(l): self.num_correct(l) for l in IDENTITY_LEVELS},
+            "maximumN50": self.maximum_n50,
             "inputN50": self.n50_input,
             "resultN50": self.n50_result,
-            "averageInsertionError": self.average_insertion_error,
+            "gapMedian": self._median(self._gap_lengths()),
+            "closedGapMedian": self._median(closed),
+            "minClosedGap": min(closed) if closed else None,
+            "maxClosedGap": max(closed) if closed else None,
+            "gapLengthHistogram": self._hists_json(),
             "gapStates": {s.value: sum(1 for g in self.gaps if g.state == s)
                           for s in GapState},
         }
-
-
-def _find_exact(haystack: np.ndarray, needle: np.ndarray) -> int:
-    """First exact occurrence index or -1 (vectorized rolling compare)."""
-    n, m = len(haystack), len(needle)
-    if m == 0 or m > n:
-        return -1
-    # anchor on a rare prefix slice to limit candidates
-    k = min(m, 32)
-    win = np.lib.stride_tricks.sliding_window_view(haystack, k)
-    cand = np.flatnonzero((win == needle[:k]).all(axis=1))
-    for c in cand:
-        if c + m <= n and np.array_equal(haystack[c : c + m], needle):
-            return int(c)
-    return -1
 
 
 def _edit_distance_banded(a: np.ndarray, b: np.ndarray, band: int = 64) -> int:
@@ -119,8 +193,6 @@ def _edit_distance_banded(a: np.ndarray, b: np.ndarray, band: int = 64) -> int:
         diag = np.where(prev[lo:hi] < INF, prev[lo:hi] + seg, INF)
         up = np.where(prev[lo + 1 : hi + 1] < INF, prev[lo + 1 : hi + 1] + 1, INF)
         tmp = np.minimum(diag, up)
-        if lo == 0:
-            first = min(i, tmp[0] if len(tmp) else INF)
         run = INF
         vals = np.empty(hi - lo + 1, dtype=np.int64)
         vals[0] = i if lo == 0 else INF
@@ -132,11 +204,25 @@ def _edit_distance_banded(a: np.ndarray, b: np.ndarray, band: int = 64) -> int:
     return int(prev[m])
 
 
+def _n50(lengths: list[int], total: int) -> int:
+    """N50 relative to ``total`` (the reference computes every N50
+    against ``numBpsExpected``, ``checkResults.d:1479-1509``)."""
+    if not lengths or total <= 0:
+        return 0
+    arr = np.sort(np.asarray(lengths))[::-1]
+    csum = np.cumsum(arr)
+    idx = int(np.searchsorted(csum, total / 2))
+    if idx >= len(arr):
+        return 0
+    return int(arr[idx])
+
+
 def check_results(
     true_records: list[np.ndarray],
     test_structure: ScaffoldStructure,
     test_contigs: SeqStore,
     result_records: list[np.ndarray],
+    bucket_size: int = 500,
 ) -> ResultStats:
     """Score `result_records` (gap-closed, coded incl. N) against the truth."""
     from ..native import SuffixArrayIndex
@@ -144,37 +230,91 @@ def check_results(
     true_idx = [SuffixArrayIndex(t) for t in true_records]
     res_idx = [SuffixArrayIndex(r) for r in result_records]
 
-    # locate each input contig in the truth (exact; tells us true gap content)
-    contig_loc: dict[int, tuple[int, int]] = {}  # id -> (true_record, pos)
+    # duplicate test contigs: exact copies of another test contig
+    # (reference: perfect self-alignments of refDb, checkResults.d:401-415)
+    by_content: dict[bytes, list[int]] = {}
+    for c in test_structure.contigs:
+        key = test_contigs.get(c.global_contig_id).tobytes()
+        by_content.setdefault(key, []).append(c.global_contig_id)
+    duplicates = {cid for ids in by_content.values() if len(ids) > 1
+                  for cid in ids}
+
+    # locate each input contig in the truth, both strands (tells us the
+    # true gap content; checkResults.d locates via FM-index both ways)
+    contig_loc: dict[int, tuple[int, int, bool]] = {}  # id -> (rec, pos, fwd)
     for c in test_structure.contigs:
         seq = test_contigs.get(c.global_contig_id)
+        rc = _COMP[seq][::-1]
         for ti, idx in enumerate(true_idx):
             hits = idx.locate(seq, max_out=1)
             if len(hits):
-                contig_loc[c.global_contig_id] = (ti, int(hits[0]))
-                break
-
-    # locate contigs in the result (allowing either strand)
-    res_loc: dict[int, tuple[int, int, bool]] = {}  # id -> (record, pos, fwd)
-    comp = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
-    for c in test_structure.contigs:
-        seq = test_contigs.get(c.global_contig_id)
-        rc = comp[seq][::-1]
-        for ri, idx in enumerate(res_idx):
-            hits = idx.locate(seq, max_out=1)
-            if len(hits):
-                res_loc[c.global_contig_id] = (ri, int(hits[0]), True)
+                contig_loc[c.global_contig_id] = (ti, int(hits[0]), True)
                 break
             hits = idx.locate(rc, max_out=1)
             if len(hits):
-                res_loc[c.global_contig_id] = (ri, int(hits[0]), False)
+                contig_loc[c.global_contig_id] = (ti, int(hits[0]), False)
                 break
 
+    # locate contigs in the result (either strand); count hits for the
+    # unique-mapping statistic
+    res_loc: dict[int, tuple[int, int, bool]] = {}  # id -> (record, pos, fwd)
+    res_hits: dict[int, int] = {}
+    for c in test_structure.contigs:
+        seq = test_contigs.get(c.global_contig_id)
+        rc = _COMP[seq][::-1]
+        n_hits = 0
+        for ri, idx in enumerate(res_idx):
+            hits = idx.locate(seq, max_out=2)
+            if len(hits) and c.global_contig_id not in res_loc:
+                res_loc[c.global_contig_id] = (ri, int(hits[0]), True)
+            n_hits += len(hits)
+            hits = idx.locate(rc, max_out=2)
+            if len(hits) and c.global_contig_id not in res_loc:
+                res_loc[c.global_contig_id] = (ri, int(hits[0]), False)
+            n_hits += len(hits)
+        res_hits[c.global_contig_id] = n_hits
+
+    # mapped regions of the truth (mappedRegionsMask): union of located
+    # contig intervals per true record
+    from ..utils.regions import Region
+    mapped_triples = []
+    for c in test_structure.contigs:
+        loc = contig_loc.get(c.global_contig_id)
+        if loc is None:
+            continue
+        ti, tp, _ = loc
+        l = len(test_contigs.get(c.global_contig_id))
+        mapped_triples.append((ti + 1, tp, tp + l))
+    mapped = Region.from_triples(mapped_triples) if mapped_triples else Region()
+
+    # translocated (reference) gaps: inner unmapped regions of the truth
+    n_translocated = 0
+    for ti, t in enumerate(true_records):
+        spans = mapped.for_tag(ti + 1)
+        if len(spans) >= 2:
+            n_translocated += len(spans) - 1
+
     gaps: list[GapResult] = []
-    errors: list[float] = []
+    err_sum = 0.0
+    err_weight = 0
     for gap in test_structure.gaps:
         c1, c2 = gap.begin_global_contig_id, gap.end_global_contig_id
         g = GapResult(c1, c2, GapState.UNKNOWN, true_length=gap.length)
+        if c1 in duplicates or c2 in duplicates:
+            g.state = GapState.IGNORED
+            gaps.append(g)
+            continue
+        # true gap length when both flanks are located in the truth
+        t1, t2 = contig_loc.get(c1), contig_loc.get(c2)
+        if t1 and t2 and t1[0] == t2[0] and t1[2] == t2[2]:
+            l1 = len(test_contigs.get(c1))
+            l2 = len(test_contigs.get(c2))
+            if t1[2]:
+                true_gap = t2[1] - (t1[1] + l1)
+            else:
+                true_gap = t1[1] - (t2[1] + l2)
+            if true_gap >= 0:
+                g.true_length = true_gap
         if c1 not in res_loc or c2 not in res_loc:
             g.state = GapState.BROKEN
             gaps.append(g)
@@ -197,7 +337,7 @@ def check_results(
             continue
         filled = result_records[r1][lo:hi]
         if not f1:
-            filled = comp[filled][::-1]
+            filled = _COMP[filled][::-1]
         g.filled_length = len(filled)
         n_count = int((filled == CODE_N).sum())
         if n_count == len(filled) and len(filled) > 0:
@@ -206,29 +346,52 @@ def check_results(
             g.state = GapState.PARTIALLY_CLOSED
         else:
             g.state = GapState.CLOSED
-            if c1 in contig_loc and c2 in contig_loc:
-                ti, tp1 = contig_loc[c1]
-                _, tp2 = contig_loc[c2]
-                true_fill = true_records[ti][tp1 + l1 : tp2]
-                d = _edit_distance_banded(true_fill, filled)
-                denom = max(len(true_fill), len(filled), 1)
-                g.identity = 1.0 - d / denom
-                errors.append(d / denom)
+            if t1 and t2 and t1[0] == t2[0] and t1[2] == t2[2]:
+                ti = t1[0]
+                if t1[2]:
+                    tlo, thi = t1[1] + l1, t2[1]
+                else:
+                    tlo, thi = t2[1] + l2, t1[1]
+                if thi >= tlo:
+                    true_fill = true_records[ti][tlo:thi]
+                    if not t1[2]:
+                        true_fill = _COMP[true_fill][::-1]
+                    d = _edit_distance_banded(true_fill, filled)
+                    denom = max(len(true_fill), len(filled), 1)
+                    g.identity = 1.0 - d / denom
+                    w = max(g.true_length, 1)
+                    err_sum += (d / denom) * w
+                    err_weight += w
         gaps.append(g)
 
+    num_bps_expected = sum(len(t) for t in true_records)
+    result_contig_lengths = _contig_lengths(result_records)
     return ResultStats(
         gaps=gaps,
-        n50_input=_n50([len(test_contigs.get(c.global_contig_id))
-                        for c in test_structure.contigs]),
-        n50_result=_n50([int((r != CODE_N).sum()) for r in result_records]),
-        average_insertion_error=float(np.mean(errors)) if errors else 0.0,
+        num_bps_expected=num_bps_expected,
+        num_bps_known=mapped.size,
+        num_bps_result=sum(result_contig_lengths),
+        num_translocated_gaps=n_translocated,
+        num_contigs_expected=len(mapped),
+        num_mapped_contigs=sum(
+            1 for c in test_structure.contigs
+            if c.global_contig_id not in duplicates
+            and res_hits.get(c.global_contig_id, 0) == 1),
+        maximum_n50=_n50([len(t) for t in true_records], num_bps_expected),
+        n50_input=_n50([int(e - b) for _, b, e in mapped.iv.tolist()],
+                       num_bps_expected),
+        n50_result=_n50(result_contig_lengths, num_bps_expected),
+        average_insertion_error=(err_sum / err_weight) if err_weight else 0.0,
+        bucket_size=bucket_size,
     )
 
 
-def _n50(lengths: list[int]) -> int:
-    if not lengths:
-        return 0
-    arr = np.sort(np.asarray(lengths))[::-1]
-    csum = np.cumsum(arr)
-    idx = int(np.searchsorted(csum, csum[-1] / 2))
-    return int(arr[min(idx, len(arr) - 1)])
+def _contig_lengths(records: list[np.ndarray]) -> list[int]:
+    """Contig (non-N run) lengths of scaffold records."""
+    out = []
+    for r in records:
+        is_n = np.r_[True, r == CODE_N, True]
+        edges = np.flatnonzero(np.diff(is_n.astype(np.int8)))
+        for b, e in zip(edges[::2], edges[1::2]):
+            out.append(int(e - b))
+    return out

@@ -62,7 +62,10 @@ def test_full_cli_pipeline(workdir, capsys):
     stats = json.loads(capsys.readouterr().out)
     assert stats["numGaps"] == 2
     assert stats["numClosedGaps"] == 2
-    assert stats["numCorrectGaps"]["1.0"] == 2, stats
+    assert stats["numCorrectGaps"] == 2, stats
+    assert stats["numCorrectGapsPerIdentityLevel"]["1.0"] == 2, stats
+    assert stats["numBpsExpected"] > 0 and stats["maximumN50"] > 0
+    assert stats["gapLengthHistogram"], stats
     assert (d / "closed.agp").exists()
     assert (d / "closed.closed-gaps.bed").exists()
 
