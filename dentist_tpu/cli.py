@@ -357,6 +357,7 @@ def cmd_collect(args):
         best_pileup_margin=args.best_pile_up_margin,
         existing_gap_bonus=args.existing_gap_bonus,
         min_spanning_reads=args.min_spanning_reads,
+        proper_allowance=args.proper_alignment_allowance,
         debug_pile_ups_stem=args.debug_pile_ups,
     )
     pile_ups = collect_pile_ups(ctx, structure.gaps, repeats, cfg,
@@ -393,7 +394,8 @@ def cmd_process(args):
     if args.batch:
         lo, hi = args.batch.split("..")
         batch = (int(lo), int(hi))
-    cfg = ProcessConfig(allow_single_reads=args.allow_single_reads)
+    cfg = ProcessConfig(allow_single_reads=args.allow_single_reads,
+                        min_reads_per_pile_up=args.min_reads_per_pile_up)
     insertions = process_pile_ups(pile_ups, ctx, store, reads, repeats, cfg, batch=batch)
     save_insertions(args.out_insertions, insertions)
 
@@ -534,11 +536,37 @@ def cmd_generate_config(args):
     in-process pipeline prints the derived stage parameters (coverage
     thresholds, chaining/collection/consensus defaults) as a config
     skeleton that can be edited and passed back via ``--config``.
+
+    ``--schema`` prints the config JSON schema instead (equivalent of
+    the reference's generated ``config-schema.json``); ``--preset
+    greedy`` emits the sensitivity-over-specificity preset mirroring
+    ``snakemake/dentist.greedy.yml``.
     """
     from .models.mask import (repeat_coverage_bounds_improper,
                               repeat_coverage_bounds_reads,
                               validation_min_coverage)
 
+    if args.schema:
+        from .config import config_schema
+
+        print(json.dumps(config_schema(build_parser().subparser_registry), indent=2))
+        return
+    if args.preset == "greedy":
+        # snakemake/dentist.greedy.yml: maximum sensitivity; always
+        # validate the closed gaps (e.g. by manual inspection)
+        print(json.dumps({
+            "__default__": {
+                "verbose": 2,
+                "allow-single-reads": True,
+                "best-pile-up-margin": 1.5,
+                "existing-gap-bonus": 3.0,
+                "join-policy": "contigs",
+                "min-reads-per-pile-up": 1,
+                "min-spanning-reads": 1,
+                "proper-alignment-allowance": 500,
+            },
+        }, indent=2))
+        return
     cfg = {
         "__default__": {
             "min-anchor-length": 500,
@@ -588,8 +616,11 @@ def cmd_check_scaffolding(args):
 
 @command("validate-config")
 def cmd_validate_config(args):
+    from .config import config_schema
+
     cfg = load_config(args.config_file)
-    errors = validate_config(cfg, list(COMMANDS))
+    schema = config_schema(build_parser().subparser_registry)
+    errors = validate_config(cfg, list(COMMANDS), schema=schema)
     for e in errors:
         print(e, file=sys.stderr)
     if errors:
@@ -688,16 +719,28 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--version", action="version", version=__version__)
     p.add_argument("--commands", action="store_true", help="list sub-commands")
+    p.add_argument("--config-schema", action="store_true",
+                   help="print the JSON schema for --config files "
+                        "(reference: generated config-schema.json)")
     sub = p.add_subparsers(dest="command")
+    p.subparser_registry = {}
 
     def add(name, *specs, **kw):
         sp = sub.add_parser(name, **kw)
         sp.add_argument("--config", help="YAML/JSON config file")
-        sp.add_argument("-v", "--verbose", action="count", default=0)
-        sp.add_argument("-q", "--quiet", action="store_true")
+        sp.add_argument("-v", "--verbose", action="count", default=0,
+                        help="increase output to help identify problems; "
+                             "use up to three times")
+        sp.add_argument("-q", "--quiet", action="store_true",
+                        help="reduce output as much as possible, reporting "
+                             "only fatal errors; overrides --verbose")
+        sp.add_argument("--revert", action="append", metavar="<option>[,<option>...]",
+                        help="revert named option to its default value; useful "
+                             "to revert specific options of a config file")
         for spec in specs:
             flags, skw = spec
             sp.add_argument(*flags, **skw)
+        p.subparser_registry[name] = sp
         return sp
 
     A = lambda *flags, **kw: (flags, kw)
@@ -726,11 +769,17 @@ def build_parser() -> argparse.ArgumentParser:
         A("--best-pile-up-margin", type=float, default=3.0),
         A("--existing-gap-bonus", type=float, default=6.0),
         A("--min-spanning-reads", type=int, default=3),
+        A("--proper-alignment-allowance", type=int, default=126,
+          help="consider chains proper if begin/end within <num> bp of "
+               "the contig/read ends (default: trace spacing)"),
         A("--debug-pile-ups", help="dump pile-ups after each sub-stage to <stem>.<stage>.npz"))
     add("show-pile-ups", A("pile_ups"), A("--json", "-j", action="store_true"))
     add("process-pile-ups", A("assembly"), A("reads"), A("alignments"),
         A("pile_ups"), A("out_insertions"), A("--mask", nargs="*"),
         A("--batch", help="from..to slice of pile ups"),
+        A("--min-reads-per-pile-up", type=int, default=3,
+          help="skip pile ups with fewer than <num> reads "
+               "(processPileUps/package.d:383)"),
         A("--allow-single-reads", action="store_true"))
     add("show-insertions", A("insertions"), A("--json", "-j", action="store_true"))
     add("merge-insertions", A("out_insertions"), A("partial_insertions", nargs="+"))
@@ -753,7 +802,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("export-las", A("alignments"), A("out_las"))
     add("import-las", A("las"), A("out_alignments"))
     add("generate-config", A("--read-coverage", type=float),
-        A("--ploidy", type=int, default=1))
+        A("--ploidy", type=int, default=1),
+        A("--schema", action="store_true",
+          help="print the config JSON schema instead of a config skeleton"),
+        A("--preset", choices=["default", "greedy"], default="default",
+          help="greedy: sensitivity-over-specificity preset "
+               "(snakemake/dentist.greedy.yml)"))
     add("check-scaffolding", A("true_assembly"), A("test_assembly"),
         A("result_assembly"))
     add("validate-config", A("config_file"))
@@ -793,6 +847,11 @@ def main(argv=None):
         argv[0] = resolve_command(argv[0])
     parser = build_parser()
     args = parser.parse_args(argv)
+    if getattr(args, "config_schema", False):
+        from .config import config_schema
+
+        print(json.dumps(config_schema(parser.subparser_registry), indent=2))
+        return 0
     if args.commands or not args.command:
         for name in sorted(COMMANDS):
             print(name)
@@ -803,9 +862,28 @@ def main(argv=None):
         set_log_level("debug")
     elif getattr(args, "verbose", 0) == 1:
         set_log_level("diagnostic")
-    if getattr(args, "config", None):
+    sp = parser.subparser_registry[args.command]
+    positional_dests = {a.dest for a in sp._get_positional_actions()}
+    config = load_config(args.config) if getattr(args, "config", None) else {}
+    if config:
         explicit = {a.split("=")[0].lstrip("-").replace("-", "_") for a in argv}
-        apply_config(args, load_config(args.config), args.command, explicit)
+        apply_config(args, config, args.command, explicit, positional_dests)
+    # --revert (CLI) and `revert:` (config section) reset options to their
+    # built-in defaults after the merge (commandline.d:2415-2435)
+    revert_names = list(getattr(args, "revert", None) or [])
+    section = config.get(args.command, {})
+    if isinstance(section, dict) and "revert" in section:
+        rv = section["revert"]
+        revert_names.extend([rv] if isinstance(rv, str) else rv)
+    if revert_names:
+        from .config import ConfigError, revert_options
+
+        defaults = {a.dest: a.default for a in sp._actions
+                    if a.dest != argparse.SUPPRESS}
+        try:
+            revert_options(args, revert_names, defaults)
+        except ConfigError as exc:
+            raise SystemExit(str(exc))
     return COMMANDS[args.command](args) or 0
 
 

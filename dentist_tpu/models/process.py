@@ -47,6 +47,9 @@ class ProcessConfig:
     min_anchor_length: int = 500
     max_insertion_error: float = 0.1
     allow_single_reads: bool = False
+    #: skip pile ups with fewer reads, unless allow_single_reads admits a
+    #: singular one (``processPileUps/package.d:378-392``)
+    min_reads_per_pile_up: int = 3
     consensus_rounds: int = 3
     band_width: int = 128
     anchor_probe: int = 64  # bases of contig edge located in the consensus
@@ -414,6 +417,11 @@ def process_pile_ups(
 
     prepared: list[_Prepared] = []
     for i in range(lo, min(hi, len(pile_ups))):
+        singular_ok = cfg.allow_single_reads and len(pile_ups[i]) == 1
+        if len(pile_ups[i]) < cfg.min_reads_per_pile_up and not singular_ok:
+            log_json("warn", event="pileUpSkipped", reason="minReadsPerPileUp",
+                     pileUpId=i, numReads=len(pile_ups[i]))
+            continue
         try:
             prep = _prepare_pile_up(pile_ups[i], ctx, contigs, reads, repeats, cfg)
         except Exception as exc:  # per-pile-up containment (reference behavior)

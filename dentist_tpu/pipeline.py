@@ -150,7 +150,10 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
     insertions = process_pile_ups(
         pile_ups, ctx, contigs, reads, homogenized,
         ProcessConfig(allow_single_reads=cfg.allow_single_reads,
-                      max_insertion_error=cfg.max_insertion_error),
+                      max_insertion_error=cfg.max_insertion_error,
+                      # the reference defaults minReadsPerPileUp to
+                      # defaultMinSpanningReads (commandline.d:2131-2136)
+                      min_reads_per_pile_up=cfg.min_spanning_reads),
     )
     _checkpoint(cfg, insertions=insertions)
     out_cfg = OutputConfig(join_policy=cfg.join_policy,

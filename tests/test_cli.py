@@ -140,3 +140,97 @@ def test_validate_config(tmp_path, capsys):
     bad.write_text(json.dumps({"not-a-command": {}}))
     with pytest.raises(SystemExit):
         main(["validate-config", str(bad)])
+
+
+def test_validate_config_schema_checks(tmp_path, capsys):
+    # unknown option name within a known section
+    bad_key = tmp_path / "bad-key.json"
+    bad_key.write_text(json.dumps({"output": {"no-such-option": 1}}))
+    with pytest.raises(SystemExit):
+        main(["validate-config", str(bad_key)])
+    capsys.readouterr()
+    # wrong value type
+    bad_type = tmp_path / "bad-type.json"
+    bad_type.write_text(json.dumps({"output": {"max-insertion-error": "high"}}))
+    with pytest.raises(SystemExit):
+        main(["validate-config", str(bad_type)])
+    capsys.readouterr()
+    # enum violation
+    bad_enum = tmp_path / "bad-enum.json"
+    bad_enum.write_text(json.dumps({"output": {"join-policy": "everything"}}))
+    with pytest.raises(SystemExit):
+        main(["validate-config", str(bad_enum)])
+    capsys.readouterr()
+    # revert in __default__ is rejected (Snakefile:403-406)
+    bad_revert = tmp_path / "bad-revert.json"
+    bad_revert.write_text(json.dumps({"__default__": {"revert": ["verbose"]}}))
+    with pytest.raises(SystemExit):
+        main(["validate-config", str(bad_revert)])
+    capsys.readouterr()
+
+
+def test_config_schema_generation(capsys):
+    assert main(["--config-schema"]) == 0
+    schema = json.loads(capsys.readouterr().out)
+    props = schema["properties"]
+    assert "collect-pile-ups" in props and "__default__" in props
+    cp = props["collect-pile-ups"]["properties"]
+    assert cp["min-spanning-reads"]["type"] == "integer"
+    assert cp["best-pile-up-margin"]["type"] == "number"
+    assert cp["mask"]["type"] == "array"
+    assert props["output"]["properties"]["join-policy"]["enum"] == [
+        "scaffoldGaps", "scaffolds", "contigs"]
+    # __default__ is the union of all commands' options
+    assert "max-insertion-error" in props["__default__"]["properties"]
+    # same via generate-config --schema
+    assert main(["generate-config", "--schema"]) == 0
+    assert json.loads(capsys.readouterr().out) == schema
+
+
+def test_greedy_preset_validates(tmp_path, capsys):
+    assert main(["generate-config", "--preset", "greedy"]) == 0
+    text = capsys.readouterr().out
+    preset = json.loads(text)
+    assert preset["__default__"]["join-policy"] == "contigs"
+    assert preset["__default__"]["min-spanning-reads"] == 1
+    cfg = tmp_path / "greedy.json"
+    cfg.write_text(text)
+    assert main(["validate-config", str(cfg)]) == 0
+
+
+def test_config_revert_and_sentinel(tmp_path, capsys):
+    # config sets min-interval-size; --revert restores the default (0);
+    # the positional `mask` comes from config via the `-` sentinel
+    from dentist_tpu.io.store import load_mask, save_mask
+    from dentist_tpu.utils.regions import Region
+
+    save_mask(str(tmp_path / "in.mask.npz"),
+              Region.from_triples([(1, 0, 20), (1, 100, 130)]))
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "filter-mask": {
+            "min-interval-size": 25,
+            "mask": str(tmp_path / "in.mask.npz"),
+        },
+    }))
+    out = tmp_path / "out.mask.npz"
+    assert main(["filter-mask", "-", str(out), "--config", str(cfg)]) == 0
+    assert len(load_mask(str(out))) == 1  # 20bp interval filtered
+    assert main(["filter-mask", "-", str(out), "--config", str(cfg),
+                 "--revert", "min-interval-size"]) == 0
+    assert len(load_mask(str(out))) == 2  # filter reverted to default 0
+    # config `revert:` list form
+    cfg2 = tmp_path / "cfg2.json"
+    cfg2.write_text(json.dumps({
+        "filter-mask": {
+            "min-interval-size": 25,
+            "mask": str(tmp_path / "in.mask.npz"),
+            "revert": ["min-interval-size"],
+        },
+    }))
+    assert main(["filter-mask", "-", str(out), "--config", str(cfg2)]) == 0
+    assert len(load_mask(str(out))) == 2
+    # unknown revert target fails like the reference CLIException
+    with pytest.raises(SystemExit):
+        main(["filter-mask", "-", str(out), "--config", str(cfg),
+              "--revert", "bogus-option"])
