@@ -40,6 +40,13 @@ __all__ = ["extend_batch", "extend_batch_multi_async", "sharded_extend_v3",
 
 DIFF_PENALTY = 6  # score = advance - 6*diffs → break-even at ~33% error
 INF = np.int32(1 << 28)
+
+import os
+
+#: scan unroll factor: the row loop is sequential and latency-bound on
+#: TPU (tiny per-row work); unrolling amortizes per-iteration overhead
+#: at the cost of compile time
+_UNROLL = int(os.environ.get("DENTIST_TPU_SCAN_UNROLL", "2"))
 #: diag_lo/diag_hi sentinel: larger than any band coordinate
 DIAG_UNBOUNDED = np.int32(1 << 20)
 
@@ -130,7 +137,7 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
     zero = jnp.zeros_like(b_len)
     init = (D0, zero, zero, jnp.full_like(b_len, -INF), zero, zero, zero)
     (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
-        body, init, xs, unroll=2)
+        body, init, xs, unroll=_UNROLL)
 
     from ..models.alignments import TRACE_SPACING
 
@@ -294,7 +301,7 @@ def _extend_scan_v2(a_chars, b_win, b_len, offs, a_len, W: int):
     # modest unroll: per-iteration while-loop overhead vs compile time
     # (aggressive unrolling blows up Mosaic compile latency)
     (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
-        body, init, xs, unroll=2)
+        body, init, xs, unroll=_UNROLL)
 
     from ..models.alignments import TRACE_SPACING
 

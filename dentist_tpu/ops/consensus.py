@@ -283,7 +283,10 @@ def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]
         groups.setdefault(key, []).append(li)
 
     for (TB, RLB), lidx in groups.items():
-        max_n = max(8, _MOVE_BUDGET // (TB * W))
+        # power-of-2 chunk size: the kernel recompiles per lane-count
+        # shape, so full chunks and padded remainders (see
+        # _dispatch_chunk) both land on power-of-2 lane counts
+        max_n = max(8, 1 << ((_MOVE_BUDGET // (TB * W)).bit_length() - 1))
         for c0 in range(0, len(lidx), max_n):
             chunk = lidx[c0 : c0 + max_n]
             _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True)
@@ -325,9 +328,13 @@ def TB_nwin(T: int) -> int:
 
 def _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True,
                     only_if_better=False):
-    N = len(chunk)
+    # pad the lane count to a power of 2 (min 8): N is a traced shape,
+    # so arbitrary retry/remainder lane counts would each recompile the
+    # kernel; padding lanes carry empty reads and their outputs are
+    # simply not read back
+    N = max(8, 1 << (len(chunk) - 1).bit_length())
     tpl = np.zeros((TB, N), dtype=np.uint8)
-    t_lens = np.zeros(N, dtype=np.int32)
+    t_lens = np.ones(N, dtype=np.int32)
     reads_arr = np.zeros((N, RLB), dtype=np.uint8)
     read_lens = np.zeros(N, dtype=np.int32)
     centers = np.zeros((TB + 1, N), dtype=np.int32)
