@@ -35,8 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["extend_batch", "extend_batch_multi_async", "sharded_extend_v3",
-           "DIFF_PENALTY", "INF"]
+__all__ = ["extend_batch", "extend_batch_multi_async", "unpack_extension",
+           "sharded_extend_v3", "DIFF_PENALTY", "INF"]
 
 DIFF_PENALTY = 6  # score = advance - 6*diffs → break-even at ~33% error
 INF = np.int32(1 << 28)
@@ -51,44 +51,82 @@ _UNROLL = int(os.environ.get("DENTIST_TPU_SCAN_UNROLL", "2"))
 DIAG_UNBOUNDED = np.int32(1 << 20)
 
 
-@functools.partial(jax.jit, static_argnames=("W",))
+#: rows per scan step: the (N, W + 2·_CHUNK) B window is refilled from
+#: b_win once per chunk (K dynamic slices) and *shifted* within it, so
+#: the R-step loop has zero memory traffic; divides every window bucket
+_CHUNK = 42
+
+
+@functools.partial(jax.jit, static_argnames=("W", "bound_diag"))
 def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
-                    diag_lo, diag_hi, W: int):
+                    diag_lo, diag_hi, W: int, bound_diag: bool = True):
     """Multi-schedule variant of :func:`_extend_scan_v2`.
 
     ``offs_k`` is (R+1, K): K linear band schedules per flush; ``lane_k``
     (N,) picks each lane's schedule.  One dispatch serves every slope
-    group of a window bucket — K scalar-start dynamic slices per row plus
-    per-lane selects replace K separate (fragmented, padded) dispatches.
+    group of a window bucket.
+
+    The band advances 0..2 columns per row, so the scan runs in chunks of
+    ``_CHUNK`` rows: each chunk refills a (N, W + 2·_CHUNK) window+
+    lookahead buffer from ``b_win`` (K dynamic slices per *chunk* — the
+    original K slices per *row* were the kernel's whole cost) and the
+    unrolled inner rows shift it in registers (``b_ch(r)[p] =
+    B[off_r + p − 1]``).
 
     ``diag_lo``/``diag_hi`` (N,) bound each lane's allowed diagonal
     ``j − r``: cells outside are infeasible.  Self-alignment (tandem)
     lanes use this to exclude the identity diagonal, which would
     otherwise win every comparison of a sequence against itself
-    (datander's split-DP has the same constraint); ordinary lanes pass
-    ``±DIAG_UNBOUNDED``.
+    (datander's split-DP has the same constraint); ``bound_diag=False``
+    (ordinary lanes) skips the per-row masking.
     """
     a_chars = a_chars.astype(jnp.int32)
-    b_win = b_win.astype(jnp.int32)
     R, N = a_chars.shape
     K = offs_k.shape[1]
-    BW = b_win.shape[1]
+    C = _CHUNK
+    assert R % C == 0, f"window bucket {R} must be a multiple of {C}"
+    NC = R // C
+    WB = W + 2 * C  # window + worst-case lookahead (shift ≤ 2/row)
     p = jnp.arange(W, dtype=jnp.int32)
     lane_k = lane_k.astype(jnp.int32)
     diag_lo = diag_lo.astype(jnp.int32)[:, None]
     diag_hi = diag_hi.astype(jnp.int32)[:, None]
 
-    off0 = offs_k[0][lane_k]  # (N,)
-    j0 = off0[:, None] + p[None, :]
+    off0 = offs_k[0, 0]  # schedules share row 0: off = −W//2
+    j0 = off0 + p[None, :]
     ok0 = (j0 >= 0) & (j0 <= b_len[:, None]) & (j0 >= diag_lo) & (j0 <= diag_hi)
-    D0 = jnp.where(ok0, j0, INF).astype(jnp.int32)
+    D0 = jnp.broadcast_to(jnp.where(ok0, j0, INF), (N, W)).astype(jnp.int32)
 
-    def body(carry, xs):
-        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
-        a_ch, off_prev_k, off_cur_k, r = xs
-        off_cur = off_cur_k[lane_k][:, None]  # (N,1)
-        s = off_cur - off_prev_k[lane_k][:, None]  # (N,1) in {0,1,2}
-        inf_col = jnp.full((N, 1), INF, jnp.int32)
+    # per-lane schedule offsets resolved to (R, N) via K-way select —
+    # vector selects beat a [:, lane_k] gather by two orders of magnitude
+    off_lane = jnp.zeros((R, N), jnp.int32)
+    for k in range(K):
+        off_lane = jnp.where(lane_k[None, :] == k, offs_k[1:, k : k + 1],
+                             off_lane)
+    s_lane = jnp.concatenate([off_lane[:1] - off0, jnp.diff(off_lane, axis=0)],
+                             axis=0)  # {0,1,2}
+
+    a_cnk = a_chars.reshape(NC, C, N)
+    off_cnk = off_lane.reshape(NC, C, N)
+    s_cnk = s_lane.reshape(NC, C, N)
+    off_r0 = offs_k[1::C, :]  # (NC, K): offset at each chunk's first row
+    rows0 = jnp.arange(1, R + 1, C, dtype=jnp.int32)
+    lane_sel = [(lane_k == k)[:, None] for k in range(K)]
+
+    #: the row winner is found with ONE max-reduction over a packed key:
+    #: maximizing S = (r + off + p) − 6·D over the row is maximizing
+    #: M = p − 6·D, and packing (M << 9) | (511 − p) makes the reduction
+    #: also yield the *first* best cell (smallest p); D is then recovered
+    #: as (p − M) / 6 — no argmax, no tie-break min, no gathers.
+    NEG = jnp.int32(-(1 << 30))
+
+    inf_col = jnp.full((N, 1), INF, jnp.int32)
+
+    def row_body(carry, xs):
+        D_prev, b_buf, jm, dm, best_s, best_r, best_j, best_d = carry
+        a_ch, off_row, s_row, r, shift_b = xs
+        off_cur = off_row[:, None]  # (N,1)
+        s = s_row[:, None]  # (N,1) in {0,1,2}
         sh0 = D_prev
         sh1 = jnp.concatenate([D_prev[:, 1:], inf_col], axis=1)
         sh2 = jnp.concatenate([D_prev[:, 2:], inf_col, inf_col], axis=1)
@@ -96,54 +134,83 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
         shm1 = jnp.concatenate([inf_col, D_prev[:, :-1]], axis=1)
         E1 = jnp.where(s == 0, shm1, jnp.where(s == 1, sh0, sh1))
 
-        j = off_cur + p[None, :]
-        b_ch = jnp.zeros((N, W), dtype=jnp.int32)
-        for k in range(K):  # K scalar-start slices, selected per lane
-            blk = jax.lax.dynamic_slice(b_win, (0, off_cur_k[k] - 1 + W), (N, W))
-            b_ch = jnp.where((lane_k == k)[:, None], blk, b_ch)
+        # the refill already sits at the chunk's first row: shift_b = 0
+        # there, 1 elsewhere (circular shift; the wrapped garbage stays
+        # within the ≤ 2·C lookahead margin, beyond every window read)
+        bb1 = jnp.concatenate([b_buf[:, 1:], b_buf[:, :1]], axis=1)
+        bb2 = jnp.concatenate([b_buf[:, 2:], b_buf[:, :2]], axis=1)
+        sb = s * shift_b
+        b_buf = jnp.where(sb == 0, b_buf, jnp.where(sb == 1, bb1, bb2))
+        b_ch = b_buf[:, :W]
         sub = (a_ch[:, None] != b_ch).astype(jnp.int32)
 
+        j = off_cur + p[None, :]
         diag = jnp.where(j >= 1, E1 + sub, INF)
         tmp = jnp.minimum(diag, E + 1)
-        valid = ((j >= 0) & (j <= b_len[:, None])
-                 & (j - r >= diag_lo) & (j - r <= diag_hi))
+        valid = (j >= 0) & (j <= b_len[:, None])
+        if bound_diag:
+            valid &= (j - r >= diag_lo) & (j - r <= diag_hi)
         tmp = jnp.where(valid, tmp, INF)
-        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
+        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :],
+                                          axis=1)
         D = jnp.minimum(tmp, closed + p[None, :])
-        D = jnp.where(valid, jnp.minimum(D, INF), INF)
 
-        S = jnp.where(
-            valid & (D < INF) & (r <= a_len)[..., None],
-            (r + j) - DIFF_PENALTY * D,
-            -INF,
-        )
-        row_s = S.max(axis=1)
-        best_p = jnp.argmax(S, axis=1)
-        row_j = off_cur[:, 0] + best_p
-        row_d = jnp.where(S == row_s[:, None], D, INF).min(axis=1)
-        jm = jnp.maximum(jm, row_j)
-        dm = jnp.maximum(dm, row_d)
+        key = ((p[None, :] - DIFF_PENALTY * D) << 9) | (W - 1 - p[None, :])
+        key = jnp.where(valid & (D < INF) & (r <= a_len)[..., None], key, NEG)
+        row_key = key.max(axis=1)
+        row_m = row_key >> 9
+        row_p = (W - 1) - (row_key & (2 * W - 1))
+        row_s = jnp.where(row_key == NEG, -INF, r + off_row + row_m)
+        row_j = off_row + row_p
+        row_d = (row_p - row_m) // DIFF_PENALTY
+        ok = row_key != NEG
+        jm = jnp.where(ok, jnp.maximum(jm, row_j), jm)
+        dm = jnp.where(ok, jnp.maximum(dm, row_d), dm)
         better = row_s > best_s
         best_s = jnp.where(better, row_s, best_s)
         best_r = jnp.where(better, r, best_r)
         best_j = jnp.where(better, jm, best_j)
         best_d = jnp.where(better, dm, best_d)
-        return (D, jm, dm, best_s, best_r, best_j, best_d), (jm, dm)
+        D = jnp.where(valid, jnp.minimum(D, INF), INF)
+        # one packed (jm, dm) word per row halves the output traffic
+        return (D, b_buf, jm, dm, best_s, best_r, best_j, best_d), \
+            (jm << 15) | jnp.minimum(dm, (1 << 15) - 1)
 
-    rows = jnp.arange(1, R + 1, dtype=jnp.int32)
-    xs = (a_chars, offs_k[:-1], offs_k[1:], rows)
+    shift_b = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.ones(C - 1, jnp.int32)])
+
+    def chunk(carry, xs):
+        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
+        a_c, off_c, s_c, off0_k, r0 = xs
+        # refill: window at this chunk's first row plus 2·C lookahead
+        b_buf = jnp.zeros((N, WB), dtype=b_win.dtype)
+        for k in range(K):
+            blk = jax.lax.dynamic_slice(b_win, (0, off0_k[k] - 1 + W), (N, WB))
+            b_buf = jnp.where(lane_sel[k], blk, b_buf)
+        b_buf = b_buf.astype(jnp.int32)
+        rows_c = r0 + jnp.arange(C, dtype=jnp.int32)
+        init = (D_prev, b_buf, jm, dm, best_s, best_r, best_j, best_d)
+        (D, _, jm, dm, best_s, best_r, best_j, best_d), ys = jax.lax.scan(
+            row_body, init, (a_c, off_c, s_c, rows_c, shift_b), unroll=_UNROLL)
+        return (D, jm, dm, best_s, best_r, best_j, best_d), ys
+
+    xs = (a_cnk, off_cnk, s_cnk, off_r0, rows0)
     # carries derive from `b_len` (not fresh constants) so their varying
     # axes match the body outputs when this runs inside shard_map
     zero = jnp.zeros_like(b_len)
     init = (D0, zero, zero, jnp.full_like(b_len, -INF), zero, zero, zero)
-    (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
-        body, init, xs, unroll=_UNROLL)
+    (_, _, _, best_s, best_r, best_j, best_d), jd_cnk = jax.lax.scan(
+        chunk, init, xs)
 
     from ..models.alignments import TRACE_SPACING
 
-    trace_j = jm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
-    trace_d = dm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
-    return best_r, best_j, best_d, best_s, trace_j, trace_d
+    jd = jd_cnk.reshape(R, N)[TRACE_SPACING - 1 :: TRACE_SPACING]
+    # ONE packed (4 + T, N) output: every result array fetched separately
+    # pays a full device-tunnel round trip (~6 RPCs dwarfed the compute);
+    # rows 0..3 are best_r/j/d/s, rows 4.. the packed (jm << 15 | dm)
+    # trace samples — split on the host by :func:`unpack_extension`.
+    return jnp.concatenate(
+        [best_r[None], best_j[None], best_d[None], best_s[None], jd], axis=0)
 
 
 #: compiled sharded kernels keyed by (mesh devices, W) — shard_map closures
@@ -151,7 +218,7 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
 _SHARDED_V3_CACHE: dict = {}
 
 
-def sharded_extend_v3(mesh, W: int):
+def sharded_extend_v3(mesh, W: int, bound_diag: bool = True):
     """The production extension kernel under ``shard_map`` over ``mesh``.
 
     This is the framework's block data-parallelism (SURVEY §2.4): lanes of
@@ -165,7 +232,7 @@ def sharded_extend_v3(mesh, W: int):
     output == single-device output exactly (asserted by
     ``tests/test_parallel.py`` and the driver's ``dryrun_multichip``).
     """
-    key = (tuple(d.id for d in mesh.devices.flat), W)
+    key = (tuple(d.id for d in mesh.devices.flat), W, bound_diag)
     fn = _SHARDED_V3_CACHE.get(key)
     if fn is not None:
         return fn
@@ -177,27 +244,39 @@ def sharded_extend_v3(mesh, W: int):
         mesh=mesh,
         in_specs=(P(None, "dp"), P("dp", None), P("dp"), P(), P("dp"), P("dp"),
                   P("dp"), P("dp")),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
         # outputs are replicated by the trailing all_gather; the static
         # varying-axis checker cannot infer that
         check_vma=False,
     )
     def step(a_chars, b_win, b_len, offs_k, lane_k, a_len, diag_lo, diag_hi):
-        best_r, best_j, best_d, best_s, trace_j, trace_d = _extend_scan_v3(
+        packed = _extend_scan_v3(
             a_chars, b_win, b_len, offs_k, lane_k, a_len, diag_lo, diag_hi,
-            W=W)
-        ag = lambda x, axis: jax.lax.all_gather(x, "dp", axis=axis, tiled=True)
-        return (ag(best_r, 0), ag(best_j, 0), ag(best_d, 0), ag(best_s, 0),
-                ag(trace_j, 1), ag(trace_d, 1))
+            W=W, bound_diag=bound_diag)
+        return jax.lax.all_gather(packed, "dp", axis=1, tiled=True)
 
     _SHARDED_V3_CACHE[key] = step
     return step
+
+
+def unpack_extension(packed) -> tuple:
+    """Fetch + split a packed extension result (ONE device round trip).
+
+    Returns ``(best_r, best_j, best_d, best_s, trace_j, trace_d)`` numpy
+    arrays; trace rows sample DP rows 126, 252, … (trace_d saturates at
+    2^15−1, far beyond any acceptable alignment's diff count).
+    """
+    arr = np.asarray(packed)
+    jd = arr[4:]
+    return (arr[0], arr[1], arr[2], arr[3], jd >> 15, jd & ((1 << 15) - 1))
 
 
 def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
                              W: int = 256, mesh=None, diag_lo=None,
                              diag_hi=None):
     """Dispatch the multi-schedule extension (see ``_extend_scan_v3``).
+
+    Returns the packed device array; consume via :func:`unpack_extension`.
 
     With ``mesh`` (>1 device) the dispatch runs data-parallel over the
     mesh's ``dp`` axis; lanes must be padded to a multiple of the mesh
@@ -209,6 +288,9 @@ def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
         diag_lo = np.full(N, -DIAG_UNBOUNDED, dtype=np.int32)
     if diag_hi is None:
         diag_hi = np.full(N, DIAG_UNBOUNDED, dtype=np.int32)
+    # unbounded lanes (the common case) skip the per-row diag masking
+    bound_diag = bool(np.any(np.asarray(diag_lo) != -DIAG_UNBOUNDED)
+                      or np.any(np.asarray(diag_hi) != DIAG_UNBOUNDED))
     args = (
         jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
         jnp.asarray(b_win, dtype=jnp.uint8),
@@ -220,8 +302,8 @@ def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
         jnp.asarray(diag_hi, dtype=jnp.int32),
     )
     if mesh is not None and mesh.size > 1:
-        return sharded_extend_v3(mesh, W)(*args)
-    return _extend_scan_v3(*args, W=W)
+        return sharded_extend_v3(mesh, W, bound_diag)(*args)
+    return _extend_scan_v3(*args, W=W, bound_diag=bound_diag)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))

@@ -26,7 +26,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["KmerIndex", "SeedCandidate", "cluster_seeds", "kmer_codes"]
+__all__ = ["KmerIndex", "SeedCandidate", "cluster_seeds",
+           "cluster_seeds_batched", "kmer_codes"]
 
 DEFAULT_K = 14
 
@@ -91,8 +92,16 @@ class KmerIndex:
         (16 for k=14), so a fixed-width vectorized scan resolves a query
         in a handful of gathers.
         """
-        self.unique_kmers, first = np.unique(self.sorted_kmers, return_index=True)
-        self.unique_start = np.concatenate([first, [len(self.sorted_kmers)]]).astype(np.int64)
+        sk = self.sorted_kmers
+        if len(sk):  # already sorted: unique via run-boundary mask
+            first = np.empty(len(sk), dtype=bool)
+            first[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=first[1:])
+            first = np.flatnonzero(first)
+        else:
+            first = np.empty(0, dtype=np.int64)
+        self.unique_kmers = sk[first]
+        self.unique_start = np.concatenate([first, [len(sk)]]).astype(np.int64)
         total_bits = 2 * self.k
         self._bucket_bits = min(24, total_bits)
         self._low_span = 1 << (total_bits - self._bucket_bits)
@@ -234,79 +243,121 @@ def cluster_seeds(
     drops the trivial self-identity diagonal when aligning a sequence
     store against itself (daligner skips the identity alignment).
     """
-    if len(a_pos) == 0:
-        return []
+    return cluster_seeds_batched(
+        index, [(a_pos, b_pos)], [complement],
+        max_gap=max_gap, slope_slack=slope_slack, slope_frac=slope_frac,
+        min_seeds=min_seeds, min_span=min_span,
+        exclude_identity_seqs=[exclude_identity_seq],
+    )[0]
+
+
+def cluster_seeds_batched(
+    index: KmerIndex,
+    seeds: list[tuple[np.ndarray, np.ndarray]],
+    complements: list[bool],
+    max_gap: int = 2000,
+    slope_slack: int = 80,
+    slope_frac: float = 0.35,
+    min_seeds: int = 3,
+    min_span: int = 100,
+    exclude_identity_seqs: list[int | None] | None = None,
+) -> list[list[SeedCandidate]]:
+    """:func:`cluster_seeds` over a whole chunk of (query, strand) groups.
+
+    One concatenated sweep replaces per-query numpy passes — the host
+    seeding hot spot is call overhead, not element count.  ``seeds[g]``
+    is that group's ``(a_pos, b_pos)``; groups never merge (the group id
+    is the senior sort key).  Returns one candidate list per group.
+    """
+    G = len(seeds)
+    out: list[list[SeedCandidate]] = [[] for _ in range(G)]
+    lens = np.array([len(ap) for ap, _ in seeds], dtype=np.int64)
+    if lens.sum() == 0:
+        return out
+    gid = np.repeat(np.arange(G, dtype=np.int64), lens)
+    a_pos = np.concatenate([np.asarray(ap) for ap, _ in seeds if len(ap)])
+    b_pos = np.concatenate([np.asarray(bp) for _, bp in seeds if len(bp)])
     seq_ids = index.seq_id_of(a_pos)
     a_local = a_pos - index.offsets[seq_ids - 1]
-    if exclude_identity_seq is not None and not complement:
-        keep = ~((seq_ids == exclude_identity_seq) & (a_local == b_pos))
-        seq_ids, a_local, b_pos = seq_ids[keep], a_local[keep], b_pos[keep]
-        if len(a_local) == 0:
-            return []
+    if exclude_identity_seqs is not None:
+        excl = np.array([-1 if e is None or complements[g] else e
+                         for g, e in enumerate(exclude_identity_seqs)],
+                        dtype=np.int64)
+        keep = ~((seq_ids == excl[gid]) & (a_local == b_pos))
+        if not keep.all():
+            gid, seq_ids, a_local, b_pos = (
+                gid[keep], seq_ids[keep], a_local[keep], b_pos[keep])
+            if len(a_local) == 0:
+                return out
     diag = a_local - b_pos
-    # Pass 1: vectorized sweep within (seq, coarse diagonal band) buckets.
-    # Indel drift can carry one true alignment across several bands, so
-    # pass 2 merges band-local sub-clusters by endpoint continuity
-    # (daligner's diagonal-band merge).
+    # Pass 1: vectorized sweep within (group, seq, coarse diagonal band)
+    # buckets.  Indel drift can carry one true alignment across several
+    # bands, so pass 2 merges band-local sub-clusters by endpoint
+    # continuity (daligner's diagonal-band merge).
     band = diag // (4 * slope_slack)
-    order = np.lexsort((a_local, band, seq_ids))
-    seq_ids, a_local, b_pos, diag, band = (
-        seq_ids[order], a_local[order], b_pos[order], diag[order], band[order],
+    order = np.lexsort((a_local, band, seq_ids, gid))
+    gid, seq_ids, a_local, b_pos, diag, band = (
+        gid[order], seq_ids[order], a_local[order], b_pos[order],
+        diag[order], band[order],
     )
     da = np.diff(a_local)
     ddiag = np.abs(np.diff(diag))
     brk = np.ones(len(a_local), dtype=bool)
     brk[1:] = (
-        (seq_ids[1:] != seq_ids[:-1])
+        (gid[1:] != gid[:-1])
+        | (seq_ids[1:] != seq_ids[:-1])
         | (band[1:] != band[:-1])
         | (np.abs(da) > max_gap)
         | (ddiag > slope_slack + slope_frac * np.abs(da))
     )
-    cluster = np.cumsum(brk) - 1
-    n_clusters = cluster[-1] + 1
-    counts = np.bincount(cluster, minlength=n_clusters)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    subs = []  # (seq, a_start, a_end, b_start, b_end, slice)
-    for c in range(n_clusters):
-        if counts[c] < 2:  # singleton hits are noise
-            continue
-        sl = slice(starts[c], starts[c + 1])
-        ap, bp = a_local[sl], b_pos[sl]
-        o2 = np.argsort(ap, kind="stable")
-        subs.append((int(seq_ids[sl][0]), int(ap[o2][0]), int(ap[o2][-1]),
-                     int(bp[o2][0]), int(bp[o2][-1]), ap[o2], bp[o2]))
+    starts = np.flatnonzero(brk)
+    ends = np.concatenate([starts[1:], [len(a_local)]])
+    big = (ends - starts) >= 2  # singleton hits are noise
+    starts, ends = starts[big], ends[big]
+    # per-sub-cluster summaries (seeds within a cluster are a-sorted by
+    # the lexsort, so endpoints are first/last — no per-cluster argsort)
+    lasts = ends - 1
+    sub_g = gid[starts]
+    sub_seq = seq_ids[starts]
+    sub_a0, sub_a1 = a_local[starts], a_local[lasts]
+    sub_b0, sub_b1 = b_pos[starts], b_pos[lasts]
 
-    # Pass 2: greedy merge of sub-clusters sorted by (seq, a_start).
-    subs.sort(key=lambda s: (s[0], s[1], s[3]))
-    merged: list[list] = []  # mutable [seq, a0, a1, b0, b1, [ap...], [bp...]]
-    for s in subs:
+    # Pass 2: greedy merge of sub-clusters sorted by (group, seq, a_start).
+    o2 = np.lexsort((sub_b0, sub_a0, sub_seq, sub_g))
+    cols = np.stack([sub_g[o2], sub_seq[o2], sub_a0[o2], sub_a1[o2],
+                     sub_b0[o2], sub_b1[o2], starts[o2], ends[o2]], axis=1)
+    merged: list[list] = []  # [g, seq, a0, a1, b0, b1, [(start, end)...]]
+    for g, sq, a0, a1, b0, b1, cs, ce in cols.tolist():
         attached = False
         for m in reversed(merged[-8:]):
-            if m[0] != s[0]:
+            if m[0] != g or m[1] != sq:
                 continue
-            gap_a = s[1] - m[2]
-            gap_b = s[3] - m[4]
+            gap_a = a0 - m[3]
+            gap_b = b0 - m[5]
             if gap_a > max_gap:
                 continue
             if abs(gap_a - gap_b) <= slope_slack + slope_frac * max(abs(gap_a), abs(gap_b)):
-                m[2] = max(m[2], s[2])
-                m[4] = max(m[4], s[4])
-                m[5].append(s[5])
-                m[6].append(s[6])
+                m[3] = max(m[3], a1)
+                m[5] = max(m[5], b1)
+                m[6].append((cs, ce))
                 attached = True
                 break
         if not attached:
-            merged.append([s[0], s[1], s[2], s[3], s[4], [s[5]], [s[6]]])
+            merged.append([g, sq, a0, a1, b0, b1, [(cs, ce)]])
 
-    out: list[SeedCandidate] = []
-    for m in merged:
-        ap = np.concatenate(m[5])
-        bp = np.concatenate(m[6])
-        if len(ap) < min_seeds:
+    for g, sq, a0, a1, b0, b1, segs in merged:
+        n = sum(e - s for s, e in segs)
+        if n < min_seeds:
             continue
-        o2 = np.argsort(ap, kind="stable")
-        ap, bp = ap[o2], bp[o2]
+        if len(segs) == 1:
+            s, e = segs[0]
+            ap, bp = a_local[s:e], b_pos[s:e]
+        else:
+            ap = np.concatenate([a_local[s:e] for s, e in segs])
+            bp = np.concatenate([b_pos[s:e] for s, e in segs])
+            o3 = np.argsort(ap, kind="stable")
+            ap, bp = ap[o3], bp[o3]
         if ap[-1] - ap[0] < min_span:
             continue
-        out.append(SeedCandidate(int(m[0]), complement, ap, bp))
+        out[g].append(SeedCandidate(sq, complements[g], ap, bp))
     return out
