@@ -526,6 +526,141 @@ def cmd_import_las(args):
     log_json("info", event="importLas", numLocalAlignments=len(las))
 
 
+@command("intrinsic-qv")
+def cmd_intrinsic_qv(args):
+    """Intrinsic QVs + coverage per read window (DASqv/DAScover roles).
+
+    Reads the alignment container, computes per-126bp-window intrinsic
+    QVs (mean diffs of the best half of covering alignments) and
+    coverage, saves them as an npz track, and prints the summary
+    (QV + coverage histograms) as JSON.
+    """
+    import numpy as np
+
+    from .io.store import load_alignments
+    from .models.sequences import load_reads
+    from .ops.qv import compute_intrinsic_qv
+
+    las, _ = load_alignments(args.alignments)
+    reads = load_reads(args.reads)
+    qv = compute_intrinsic_qv(las, reads.lengths)
+    if args.out:
+        np.savez_compressed(args.out, offsets=qv.offsets, qv=qv.qv,
+                            coverage=qv.coverage)
+    print(json.dumps(qv.to_json(), indent=None if args.json else 2))
+
+
+@command("lost-gaps")
+def cmd_lost_gaps(args):
+    """Explain why potentially closable gaps were not closed.
+
+    Reads the pipeline's JSON event log(s) (``<workdir>/pipeline.log`` or
+    explicit files), groups ``pileUpSkipped``/``insertionSkipped`` events
+    by phase and reason, and prints a markdown report — the reference's
+    ``scripts/lost-gaps.py``.
+    """
+    import glob as _glob
+    import os as _os
+
+    paths = []
+    for p in args.logs:
+        if _os.path.isdir(p):
+            paths.extend(sorted(_glob.glob(_os.path.join(p, "*.log"))))
+        else:
+            paths.append(p)
+    events = []
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("event") in ("pileUpSkipped", "insertionSkipped"):
+                    events.append(rec)
+    by_reason: dict[str, list] = {}
+    for e in events:
+        by_reason.setdefault(e.get("reason", "other"), []).append(e)
+
+    def gap_of(e):
+        ids = e.get("contigIds") or e.get("contig_ids") or e.get("gap")
+        return "-".join(str(c) for c in ids) if isinstance(ids, (list, tuple)) \
+            else str(ids) if ids is not None else "?"
+
+    print(f"In this run {len(events)} potentially closable gaps were not "
+          f"closed. More details:\n")
+    phases = [
+        ("collect", ["minSpanningReads", "scaffoldingConflict"]),
+        ("process", ["noCommonTracePoint", "tooFewCroppedReads",
+                     "emptyConsensus", "flankAnchorNotFound",
+                     "insertionError", "minReadsPerPileUp", "contigsOverlap",
+                     "exception"]),
+        ("output", ["maxInsertionError", "minExtensionLength", "skipGaps"]),
+    ]
+    for phase, reasons in phases:
+        present = [r for r in reasons if r in by_reason]
+        n = sum(len(by_reason[r]) for r in present)
+        print(f"- lost {n} in `{phase}` phase")
+        for r in present:
+            evs = by_reason.pop(r)
+            print(f"    - lost {len(evs)} gap(s): {r}")
+            for e in evs:
+                print(f"        - skipped {gap_of(e)}")
+    for r, evs in by_reason.items():
+        print(f"- {len(evs)} event(s) with unhandled reason `{r}`")
+
+
+@command("fasta2db")
+def cmd_fasta2db(args):
+    """Build a Dazzler read database (.db + hidden .idx/.bps).
+
+    The native equivalent of DAZZ_DB ``fasta2DB``
+    (``dazzler.d:6327,6389``): read sets prepared for the reference
+    toolchain and ours become interchangeable on disk.
+    """
+    from .io.dazzdb import write_db
+    from .io.fasta import read_fasta
+
+    records = read_fasta(args.fasta)
+    write_db(args.db, [r.codes for r in records],
+             prolog=args.prolog, source_name=args.fasta)
+    log_json("info", event="fasta2db", numReads=len(records))
+
+
+@command("fasta2dam")
+def cmd_fasta2dam(args):
+    """Build a Dazzler assembly map (.dam + hidden .idx/.bps/.hdr).
+
+    The native equivalent of DAZZ_DB ``fasta2DAM`` (``dazzler.d:6186``):
+    scaffolds split into contigs at N runs, gap offsets in ``fpulse``.
+    """
+    from .io.dazzdb import write_dam
+    from .io.fasta import read_fasta
+
+    records = read_fasta(args.fasta)
+    write_dam(args.dam, [(r.header, r.codes) for r in records],
+              source_name=args.fasta)
+    log_json("info", event="fasta2dam", numScaffolds=len(records))
+
+
+@command("dbshow")
+def cmd_dbshow(args):
+    """Print a .db/.dam back as FASTA (native DAZZ_DB ``DBshow``,
+    ``dazzler.d:6233``); .dam scaffolds are reassembled with N gaps."""
+    import sys
+
+    from .io.dazzdb import read_dazz
+    from .io.fasta import codes_to_seq, write_fasta
+
+    db = read_dazz(args.db)
+    recs = ((name, codes_to_seq(codes)) for name, codes in
+            db.scaffold_records())
+    write_fasta(sys.stdout, recs, line_width=args.width)
+
+
 @command("generate-config")
 def cmd_generate_config(args):
     """Print the effective pipeline parameter set.
@@ -801,6 +936,13 @@ def build_parser() -> argparse.ArgumentParser:
         A("--weak-coverage-mask"))
     add("export-las", A("alignments"), A("out_las"))
     add("import-las", A("las"), A("out_alignments"))
+    add("intrinsic-qv", A("alignments"), A("reads"), A("--out", default=None),
+        A("--json", "-j", action="store_true"))
+    add("lost-gaps", A("logs", nargs="+",
+                       help="pipeline log file(s) or a --workdir directory"))
+    add("fasta2db", A("fasta"), A("db"), A("--prolog", default="reads"))
+    add("fasta2dam", A("fasta"), A("dam"))
+    add("dbshow", A("db"), A("--width", type=int, default=50))
     add("generate-config", A("--read-coverage", type=float),
         A("--ploidy", type=int, default=1),
         A("--schema", action="store_true",

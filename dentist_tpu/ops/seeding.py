@@ -32,15 +32,24 @@ __all__ = ["KmerIndex", "SeedCandidate", "cluster_seeds",
 DEFAULT_K = 14
 
 
-def kmer_codes(codes: np.ndarray, k: int = DEFAULT_K) -> np.ndarray:
-    """Encode all k-mers of a code array as ints (length ``len - k + 1``)."""
+def kmer_codes(codes: np.ndarray, k: int = DEFAULT_K,
+               stride: int = 1) -> np.ndarray:
+    """Encode every ``stride``-th k-mer of a code array as an int.
+
+    Positions sampled are 0, stride, 2·stride, …  ≤ len − k.  Uses int32
+    when 2k ≤ 31 bits (k ≤ 15): half the memory traffic of int64 in the
+    host seeding hot loop.
+    """
     codes = np.asarray(codes)
     n = len(codes) - k + 1
     if n <= 0:
-        return np.empty(0, dtype=np.int64)
-    out = np.zeros(n, dtype=np.int64)
+        return np.empty(0, dtype=np.int64 if 2 * k > 31 else np.int32)
+    dt = np.int64 if 2 * k > 31 else np.int32
+    m = (n + stride - 1) // stride
+    out = np.zeros(m, dtype=dt)
     for t in range(k):
-        out = out * 4 + codes[t : t + n]
+        out <<= 2
+        out += codes[t : t + n : stride]
     return out
 
 
@@ -173,7 +182,7 @@ class KmerIndex:
         """
         if len(self.sorted_kmers) == 0:
             return [(np.empty(0, np.int64), np.empty(0, np.int64)) for _ in queries]
-        kms = [kmer_codes(q, self.k)[::stride] for q in queries]
+        kms = [kmer_codes(q, self.k, stride) for q in queries]
         lens = np.array([len(k) for k in kms], dtype=np.int64)
         bounds = np.concatenate([[0], np.cumsum(lens)])
         if bounds[-1] == 0:

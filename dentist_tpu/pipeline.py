@@ -69,6 +69,11 @@ class PipelineConfig:
 @trace_execution
 def run_pipeline(assembly_path, reads_path, out_path, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
+    if cfg.workdir:  # persist the event log for lost-gaps analysis
+        from .utils.log import tee_log_file
+
+        os.makedirs(cfg.workdir, exist_ok=True)
+        tee_log_file(os.path.join(cfg.workdir, "pipeline.log"))
     contigs, structure = load_assembly(assembly_path)
     reads = load_reads(reads_path)
     read_list = [reads.get(i + 1) for i in range(len(reads))]

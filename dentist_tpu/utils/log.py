@@ -16,11 +16,13 @@ import sys
 import time
 from contextlib import contextmanager
 
-__all__ = ["set_log_level", "log_json", "trace_execution", "LEVELS"]
+__all__ = ["set_log_level", "log_json", "trace_execution", "tee_log_file",
+           "LEVELS"]
 
 LEVELS = {"debug": 0, "diagnostic": 1, "info": 2, "warn": 3, "error": 4, "fatal": 5}
 _current_level = LEVELS["info"]
 _stream = sys.stderr
+_tee = None
 
 
 def set_log_level(level: str) -> None:
@@ -28,12 +30,25 @@ def set_log_level(level: str) -> None:
     _current_level = LEVELS[level]
 
 
+def tee_log_file(path: str | None) -> None:
+    """Duplicate every record to ``path`` (the reference persists per-stage
+    ``*.log`` files that ``lost-gaps`` analyzes); ``None`` stops teeing."""
+    global _tee
+    if _tee is not None:
+        _tee.close()
+    _tee = open(path, "a") if path else None
+
+
 def log_json(level: str, **payload) -> None:
     if LEVELS[level] < _current_level:
         return
     record = {"timestamp": time.time_ns() // 1000, "logLevel": level}
     record.update(payload)
-    print(json.dumps(record, default=str, separators=(",", ":")), file=_stream)
+    line = json.dumps(record, default=str, separators=(",", ":"))
+    print(line, file=_stream)
+    if _tee is not None:
+        _tee.write(line + "\n")
+        _tee.flush()
 
 
 @contextmanager
