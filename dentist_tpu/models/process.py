@@ -214,6 +214,7 @@ def _prepare_pile_up(
     # crop + orient reads
     cropped: list[np.ndarray] = []
     read_ids: list[int] = []
+    two_anchored: list[int] = []
     start_node = sides[0]
     part1 = start_node[1]
     for rep, row in zip(pile_up, per_read):
@@ -245,11 +246,22 @@ def _prepare_pile_up(
             if n2 is None or n2 <= n1:
                 continue
             cropped.append(oriented[n1:n2])
+            two_anchored.append(len(cropped) - 1)
         else:
             # extension pile-up, or a merged-extension read anchored on
             # the leaving side: prefix read reaching into the gap
             cropped.append(oriented[n1:])
         read_ids.append(ch1.b_id)
+
+    if is_gap and two_anchored:
+        # one-anchored reads in a gap pile-up keep only the prefix the
+        # gap-spanning template can cover: their tails cannot vote and
+        # would force read buckets (and band slopes) far beyond the
+        # template length
+        bound = max(len(cropped[i]) for i in two_anchored)
+        bound += bound // 4 + 2 * TRACE_SPACING
+        cropped = [r if i in set(two_anchored) else r[:bound]
+                   for i, r in enumerate(cropped)]
 
     if not cropped or (len(cropped) == 1 and not cfg.allow_single_reads):
         log_json("warn", event="pileUpSkipped", reason="tooFewCroppedReads",

@@ -111,20 +111,42 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
     j0g = off0[:, None] + p[None, :]
     D0 = jnp.where((j0g >= 0) & (j0g <= read_lens[:, None]), 0, _INF).astype(jnp.int32)
 
-    def body(carry, xs):
-        D_prev, off_prev = carry
-        t_ch, c_cur, i = xs
-        off = off_from(c_cur)
-        s = (off - off_prev)[:, None]
-        idx = p[None, :] + s
-        ok = (idx >= 0) & (idx < W)
-        E = jnp.where(ok, jnp.take_along_axis(D_prev, jnp.clip(idx, 0, W - 1), axis=1), _INF)
-        idx1 = idx - 1
-        ok1 = (idx1 >= 0) & (idx1 < W)
-        E1 = jnp.where(ok1, jnp.take_along_axis(D_prev, jnp.clip(idx1, 0, W - 1), axis=1), _INF)
+    # Chunked scan: centers are step-clamped (≤2/row, `_clamp_steps`), so
+    # band moves are 3-way static-shift selects and the (N, W + 2C) read
+    # window refills with ONE gather per C rows — the previous per-row
+    # take_along_axis triple (D×2 + read chars) was the stage's cost.
+    C = 32
+    assert T % C == 0, f"template bucket {T} must be a multiple of {C}"
+    NC = T // C
+    WB = W + 2 * C
+    offs = off_from(centers)  # (T+1, N), steps in {0,1,2}
+    s_all = offs[1:] - offs[:-1]
+    tpl_cnk = tpl.reshape(NC, C, N)
+    off_cnk = offs[1:].reshape(NC, C, N)
+    s_cnk = s_all.reshape(NC, C, N)
+    off_first = offs[1::C]  # (NC, N): offset at each chunk's first row
+    rows0 = jnp.arange(1, T + 1, C, dtype=jnp.int32)
+    pwb = jnp.arange(WB, dtype=jnp.int32)
+    inf_col = jnp.full((N, 1), _INF, jnp.int32)
 
-        j = off[:, None] + p[None, :]
-        r_ch = jnp.take_along_axis(reads_i, jnp.clip(j - 1, 0, RL - 1), axis=1)
+    def row_body(carry, xs):
+        D_prev, buf = carry
+        t_ch, off_row, s_row, i, shift_b = xs
+        off = off_row[:, None]
+        s = s_row[:, None]
+        sh1 = jnp.concatenate([D_prev[:, 1:], inf_col], axis=1)
+        sh2 = jnp.concatenate([D_prev[:, 2:], inf_col, inf_col], axis=1)
+        E = jnp.where(s == 0, D_prev, jnp.where(s == 1, sh1, sh2))
+        shm1 = jnp.concatenate([inf_col, D_prev[:, :-1]], axis=1)
+        E1 = jnp.where(s == 0, shm1, jnp.where(s == 1, D_prev, sh1))
+
+        sb = s * shift_b  # the refill already sits at the chunk's first row
+        bb1 = jnp.concatenate([buf[:, 1:], buf[:, :1]], axis=1)
+        bb2 = jnp.concatenate([buf[:, 2:], buf[:, :2]], axis=1)
+        buf = jnp.where(sb == 0, buf, jnp.where(sb == 1, bb1, bb2))
+        r_ch = buf[:, :W]
+
+        j = off + p[None, :]
         sub = (r_ch != t_ch[:, None]).astype(jnp.int32)
         diag = jnp.where(j >= 1, E1 + sub, _INF)
         up = E + 1
@@ -140,11 +162,25 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
         move = jnp.where(from_left, _LEFT, jnp.where(choose_up, _UP, _DIAG))
         move = jnp.where(valid, move, _NONE).astype(jnp.uint8)
         at_end = jnp.where((j == read_lens[:, None]) & valid, D, _INF).min(axis=1)
-        return (D, off), (move, at_end)
+        return (D, buf), (move, at_end)
 
-    rows = jnp.arange(1, T + 1, dtype=jnp.int32)
-    xs = (tpl, centers[1:], rows)
-    (_, _), (moves, d_at_jend) = jax.lax.scan(body, (D0, off0), xs)
+    shift_b = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.ones(C - 1, jnp.int32)])
+
+    def chunk_body(D_prev, xs):
+        tpl_c, off_c, s_c, off_f, r0 = xs
+        idx = jnp.clip(off_f[:, None] - 1 + pwb[None, :], 0, RL - 1)
+        buf = jnp.take_along_axis(reads_i, idx, axis=1)  # (N, WB)
+        rows_c = r0 + jnp.arange(C, dtype=jnp.int32)
+        (D, _), ys = jax.lax.scan(
+            row_body, (D_prev, buf), (tpl_c, off_c, s_c, rows_c, shift_b),
+            unroll=2)
+        return D, ys
+
+    _, (moves, d_at_jend) = jax.lax.scan(
+        chunk_body, D0, (tpl_cnk, off_cnk, s_cnk, off_first, rows0))
+    moves = moves.reshape(T, N, W)
+    d_at_jend = d_at_jend.reshape(T, N)
     # moves: (T, N, W) uint8 — stays on device
 
     # ---- end selection: best "read exhausted" row per lane
@@ -214,7 +250,13 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
 
     spans = jnp.stack([jnp.where(covered, i_f, 0), jnp.where(covered, i0, 0)], axis=1)
     diffs = jnp.where(covered, dmin, 0)
-    return sym, ins, jpath, spans, diffs, win, covered
+    # two packed blocks: each result array fetched separately pays a full
+    # device round trip (7 RPCs per dispatch dominated the stage)
+    blk8 = jnp.concatenate([sym, ins.reshape(N, 4 * (T + 1))], axis=1)
+    blk32 = jnp.concatenate(
+        [jpath, spans, diffs[:, None], win,
+         covered.astype(jnp.int32)[:, None]], axis=1)
+    return blk8, blk32
 
 
 # ======================================================================
@@ -235,6 +277,17 @@ class _RoundOut:
     covered: np.ndarray  # (n,) bool
 
 
+def _clamp_steps(centers: np.ndarray) -> np.ndarray:
+    """Limit per-row center increments to ≤ 2: ``c'_i = min_{k≤i}(c_k +
+    2(i−k))``.  Bounded shifts let the kernel realize band moves as
+    static shift selects instead of per-row gathers; a band that cannot
+    keep up (read ≫ 2×template) simply fails coverage and is retried /
+    dropped, as before."""
+    rows2 = 2 * np.arange(centers.shape[0], dtype=np.int64)[:, None]
+    return (np.minimum.accumulate(centers.astype(np.int64) - rows2, axis=0)
+            + rows2).astype(np.int32)
+
+
 def _make_centers(T: int, read_lens: np.ndarray, jpath: np.ndarray | None) -> np.ndarray:
     """Band centers (T+1, N): slope-1 clamped, or previous traceback path."""
     N = len(read_lens)
@@ -249,7 +302,7 @@ def _make_centers(T: int, read_lens: np.ndarray, jpath: np.ndarray | None) -> np
                     np.linspace(0, Tp, T + 1), good, jpath[n, good]
                 )
                 centers[:, n] = np.clip(np.round(interp), 0, read_lens[n]).astype(np.int64)
-    return centers.astype(np.int32)
+    return _clamp_steps(centers.astype(np.int32))
 
 
 def _prop_centers(T: int, read_lens: np.ndarray) -> np.ndarray:
@@ -258,7 +311,7 @@ def _prop_centers(T: int, read_lens: np.ndarray) -> np.ndarray:
         rows[:, None] * read_lens[None, :].astype(np.int64) // max(T, 1),
         read_lens[None, :].astype(np.int64),
     )
-    return prop.astype(np.int32)
+    return _clamp_steps(prop.astype(np.int32))
 
 
 def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]],
@@ -354,12 +407,20 @@ def _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True,
         centers[: T + 1, k] = c[:, 0]
         centers[T + 1 :, k] = c[T, 0]
     NWIN = max(TB_nwin(TB), 1)
-    out = _nw_round_kernel(
+    blk8, blk32 = _nw_round_kernel(
         jnp.asarray(tpl), jnp.asarray(t_lens), jnp.asarray(reads_arr),
         jnp.asarray(read_lens), jnp.asarray(centers),
         T=TB, W=W, S=TB + RLB, NWIN=NWIN,
     )
-    sym, ins, jpath, spans, diffs, win, covered = (np.asarray(o) for o in out)
+    blk8, blk32 = np.asarray(blk8), np.asarray(blk32)
+    N_r = blk8.shape[0]
+    sym = blk8[:, :TB]
+    ins = blk8[:, TB:].reshape(N_r, TB + 1, 4)
+    jpath = blk32[:, : TB + 1]
+    spans = blk32[:, TB + 1 : TB + 3]
+    diffs = blk32[:, TB + 3]
+    win = blk32[:, TB + 4 : TB + 4 + NWIN]
+    covered = blk32[:, TB + 4 + NWIN].astype(bool)
     for k, li in enumerate(chunk):
         ji, ri = lanes[li][0], lanes[li][1]
         if only_if_better and not covered[k]:
@@ -436,6 +497,61 @@ def _rebuild_template(template: np.ndarray, col_votes, ins_votes, cov) -> np.nda
 # ======================================================================
 
 
+@functools.partial(jax.jit, static_argnames=("T", "global_ends"))
+def _nw_dist_full(templates, t_lens, reads, read_lens, T: int,
+                  global_ends: bool = False):
+    """Edit distance of each (template, read) pair over the FULL read
+    width — for the short polish-scoring windows (reads ≤ 127 chars) a
+    full wavefront needs no band shifts and therefore no gathers at all,
+    which beats the banded kernel by an order of magnitude on TPU.
+
+    templates: (V, T); reads: (V, N, RL), RL ≤ 127.  Same free-shift /
+    global semantics as :func:`_banded_nw_dist`; exact (no band to fall
+    out of).  Returns (V, N) int32 distances.
+    """
+    templates = templates.astype(jnp.int32)
+    reads = reads.astype(jnp.int32)
+    V, N, RL = reads.shape
+    j = jnp.arange(RL + 1, dtype=jnp.int32)[None, None, :]  # (1,1,RL+1)
+    rl = read_lens[..., None]  # (V, N, 1)
+    valid_j = j <= rl
+    D0 = jnp.where(valid_j, j if global_ends else 0, _INF).astype(jnp.int32)
+    best0 = jnp.full((V, N), _INF, dtype=jnp.int32)
+    inf_col = jnp.full((V, N, 1), _INF, jnp.int32)
+
+    def body(carry, xs):
+        D_prev, best_end = carry
+        t_ch, i = xs  # (V,), scalar row
+        sub = (reads != t_ch[:, None, None]).astype(jnp.int32)  # (V,N,RL)
+        diag = jnp.concatenate([inf_col, D_prev[..., :-1] + sub], axis=-1)
+        up = D_prev + 1
+        if not global_ends:
+            # free leading template gap: entering at j == 0 costs nothing
+            up = jnp.concatenate([jnp.minimum(up[..., :1], 0), up[..., 1:]],
+                                 axis=-1)
+        tmp = jnp.minimum(diag, up)
+        active = i <= t_lens[:, None, None]
+        tmp = jnp.where(valid_j & active, tmp, _INF)
+        closed = jax.lax.associative_scan(jnp.minimum, tmp - j, axis=-1)
+        D = jnp.minimum(tmp, closed + j)
+        D = jnp.where(valid_j & active, jnp.minimum(D, _INF), _INF)
+        if global_ends:
+            at_end = jnp.where((j == rl) & (i == t_lens[:, None, None]),
+                               D, _INF).min(axis=-1)
+        else:
+            at_end = jnp.where(j == rl, D, _INF).min(axis=-1)
+        best_end = jnp.minimum(best_end, at_end)
+        row_last = jnp.where(i == t_lens[:, None, None], D, _INF).min(axis=-1)
+        return (D, best_end), row_last
+
+    rows = jnp.arange(1, T + 1, dtype=jnp.int32)
+    (D_last, best_end), row_last = jax.lax.scan(
+        body, (D0, best0), (templates.T, rows))
+    if global_ends:
+        return best_end
+    return jnp.minimum(best_end, row_last.min(axis=0))
+
+
 @functools.partial(jax.jit, static_argnames=("T", "W", "global_ends"))
 def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
                     global_ends: bool = False):
@@ -446,6 +562,8 @@ def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
     Forward-only: no move storage; scores candidate template edits
     exactly.  With ``global_ends`` both ends are anchored (true NW).
     """
+    templates = templates.astype(jnp.int32)
+    reads = reads.astype(jnp.int32)
     V, N, RL = reads.shape
     p = jnp.arange(W, dtype=jnp.int32)
 
@@ -502,7 +620,7 @@ def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
     return jax.vmap(one)(templates, t_lens, reads, read_lens)
 
 
-_V_CHUNK = 64
+_V_CHUNK = 512
 _N_BUCKETS = [8, 16, 32, 64, 128]
 
 
@@ -531,12 +649,15 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
     half_v = _V_CHUNK // 2
     NB = _n_bucket(max((c[4].shape[0] for c in cands), default=1))
 
+    # dispatch every chunk before collecting any result: the per-call
+    # round trip dominated this stage (thousands of tiny scoring calls)
+    inflight = []
     for c0 in range(0, len(cands), half_v):
         chunk = cands[c0 : c0 + half_v]
         V = _V_CHUNK
-        tpl = np.zeros((V, TW), dtype=np.int32)
+        tpl = np.zeros((V, TW), dtype=np.uint8)
         t_len = np.zeros(V, dtype=np.int32)
-        rwin = np.zeros((V, NB, RW), dtype=np.int32)
+        rwin = np.zeros((V, NB, RW), dtype=np.uint8)
         rwin_len = np.zeros((V, NB), dtype=np.int32)
         cov_ok = np.zeros((V, NB), dtype=bool)
         for k, (template, pos, kind, base, reads_arr, jpath) in enumerate(chunk):
@@ -562,15 +683,17 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
                 cov_ok[k, n] = True
         rwin[half_v : half_v + len(chunk)] = rwin[: len(chunk)]
         rwin_len[half_v : half_v + len(chunk)] = rwin_len[: len(chunk)]
-        d = np.asarray(_banded_nw_dist(
+        out = _nw_dist_full(
             jnp.asarray(tpl), jnp.asarray(t_len), jnp.asarray(rwin),
-            jnp.asarray(rwin_len), T=TW, W=W_score, global_ends=True,
-        ))
-        db = d[: len(chunk)]
-        de = d[half_v : half_v + len(chunk)]
-        ok = cov_ok[: len(chunk)] & (db < _INF) & (de < _INF)
-        diff = np.where(ok, db - de, 0).sum(axis=1)
-        gains[c0 : c0 + len(chunk)] = diff
+            jnp.asarray(rwin_len), T=TW, global_ends=True,
+        )
+        inflight.append((c0, len(chunk), cov_ok, out))
+    for c0, n_chunk, cov_ok, out in inflight:
+        d = np.asarray(out)
+        db = d[:n_chunk]
+        de = d[half_v : half_v + n_chunk]
+        ok = cov_ok[:n_chunk] & (db < _INF) & (de < _INF)
+        gains[c0 : c0 + n_chunk] = np.where(ok, db - de, 0).sum(axis=1)
     return gains
 
 
