@@ -335,6 +335,10 @@ def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]
         key = (_t_bucket(max(len(template), 1)), _rl_bucket(max(len(r), 1)))
         groups.setdefault(key, []).append(li)
 
+    # two-phase: dispatch every chunk of every group before fetching any
+    # result, so device compute overlaps host window assembly and the
+    # per-dispatch round trips of different groups overlap each other
+    inflight = []
     for (TB, RLB), lidx in groups.items():
         # power-of-2 chunk size: the kernel recompiles per lane-count
         # shape, so full chunks and padded remainders (see
@@ -342,12 +346,19 @@ def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]
         max_n = max(8, 1 << ((_MOVE_BUDGET // (TB * W)).bit_length() - 1))
         for c0 in range(0, len(lidx), max_n):
             chunk = lidx[c0 : c0 + max_n]
-            _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True)
-            # retry uncovered lanes with proportional centers
-            retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
-            if retry:
-                _dispatch_chunk(lanes, retry, TB, RLB, W, outs,
-                                jpath_centers=False, only_if_better=True)
+            inflight.append((chunk, TB, RLB,
+                             _dispatch_chunk(lanes, chunk, TB, RLB, W)))
+    retries = []
+    for chunk, TB, RLB, handle in inflight:
+        _collect_chunk(lanes, chunk, TB, handle, outs)
+        # retry uncovered lanes with proportional centers
+        retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
+        if retry:
+            retries.append((retry, TB, RLB,
+                            _dispatch_chunk(lanes, retry, TB, RLB, W,
+                                            jpath_centers=False)))
+    for retry, TB, RLB, handle in retries:
+        _collect_chunk(lanes, retry, TB, handle, outs, only_if_better=True)
 
     # assemble per-job outputs
     results = []
@@ -379,8 +390,8 @@ def TB_nwin(T: int) -> int:
     return (T + TRACE_SPACING - 1) // TRACE_SPACING
 
 
-def _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True,
-                    only_if_better=False):
+def _dispatch_chunk(lanes, chunk, TB, RLB, W, jpath_centers=True):
+    """Assemble + dispatch one chunk; returns the async device handle."""
     # pad the lane count to a power of 2 (min 8): N is a traced shape,
     # so arbitrary retry/remainder lane counts would each recompile the
     # kernel; padding lanes carry empty reads and their outputs are
@@ -407,12 +418,17 @@ def _dispatch_chunk(lanes, chunk, TB, RLB, W, outs, jpath_centers=True,
         centers[: T + 1, k] = c[:, 0]
         centers[T + 1 :, k] = c[T, 0]
     NWIN = max(TB_nwin(TB), 1)
-    blk8, blk32 = _nw_round_kernel(
+    return _nw_round_kernel(
         jnp.asarray(tpl), jnp.asarray(t_lens), jnp.asarray(reads_arr),
         jnp.asarray(read_lens), jnp.asarray(centers),
         T=TB, W=W, S=TB + RLB, NWIN=NWIN,
     )
-    blk8, blk32 = np.asarray(blk8), np.asarray(blk32)
+
+
+def _collect_chunk(lanes, chunk, TB, handle, outs, only_if_better=False):
+    """Fetch a dispatched chunk's packed blocks and unpack per lane."""
+    blk8, blk32 = np.asarray(handle[0]), np.asarray(handle[1])
+    NWIN = max(TB_nwin(TB), 1)
     N_r = blk8.shape[0]
     sym = blk8[:, :TB]
     ins = blk8[:, TB:].reshape(N_r, TB + 1, 4)
