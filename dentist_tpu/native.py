@@ -32,12 +32,12 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as exc:  # no compiler / no make: fall back to numpy
-            log_json("warn", event="nativeBuildFailed", error=str(exc))
+    try:  # make is a no-op when the library is fresh
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as exc:  # no compiler / no make: fall back to numpy
+        log_json("warn", event="nativeBuildFailed", error=str(exc))
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -54,8 +54,51 @@ def _load():
     lib.dentist_sa_free.argtypes = [ctypes.c_void_p]
     lib.dentist_pack_2bit.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
     lib.dentist_unpack_2bit.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+    if hasattr(lib, "dentist_seed_lookup"):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.dentist_seed_lookup.restype = None
+        lib.dentist_seed_lookup.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"), i64p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), i64p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
     _lib = lib
     return _lib
+
+
+def seed_lookup(qcodes: np.ndarray, qoffs: np.ndarray, k: int, stride: int,
+                max_occ: int, unique_kmers: np.ndarray,
+                unique_start: np.ndarray, bucket_start: np.ndarray | None,
+                bucket_bits: int, sorted_pos: np.ndarray):
+    """Native batched k-mer seed lookup; None if the library is absent.
+
+    Returns (offsets (nq+1,), a_pos, b_pos) int64 arrays — query q's
+    seeds live at [offsets[q], offsets[q+1]).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dentist_seed_lookup") or 2 * k > 31:
+        return None
+    nq = len(qoffs) - 1
+    counts = np.zeros(nq, dtype=np.int64)
+    bs_ptr = (bucket_start.ctypes.data_as(ctypes.c_void_p)
+              if bucket_start is not None else None)
+    args = (qcodes, qoffs, nq, k, stride, max_occ,
+            unique_kmers, unique_start, len(unique_kmers),
+            bs_ptr, bucket_bits, 2 * k, sorted_pos, counts)
+    lib.dentist_seed_lookup(*args, None, None, None)
+    offsets = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    a_pos = np.empty(total, dtype=np.int64)
+    b_pos = np.empty(total, dtype=np.int64)
+    lib.dentist_seed_lookup(
+        *args,
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        a_pos.ctypes.data_as(ctypes.c_void_p),
+        b_pos.ctypes.data_as(ctypes.c_void_p))
+    return offsets, a_pos, b_pos
 
 
 def native_available() -> bool:

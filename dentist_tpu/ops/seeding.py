@@ -182,6 +182,26 @@ class KmerIndex:
         """
         if len(self.sorted_kmers) == 0:
             return [(np.empty(0, np.int64), np.empty(0, np.int64)) for _ in queries]
+        if 2 * self.k <= 31 and queries:
+            # native path: encode + probe + expand in one C++ pass per
+            # query (ctypes releases the GIL, so the seeding thread pool
+            # parallelizes for real — the numpy path was the mapping
+            # stage's host bottleneck)
+            from ..native import seed_lookup
+
+            qoffs = np.zeros(len(queries) + 1, dtype=np.int64)
+            np.cumsum([len(q) for q in queries], out=qoffs[1:])
+            qcodes = np.concatenate(
+                [np.ascontiguousarray(q, dtype=np.uint8) for q in queries])
+            res = seed_lookup(qcodes, qoffs, self.k, stride, max_occ,
+                              self.unique_kmers, self.unique_start,
+                              self._bucket_start, self._bucket_bits,
+                              self.sorted_pos)
+            if res is not None:
+                offs, a_pos, b_pos = res
+                return [(a_pos[offs[q] : offs[q + 1]],
+                         b_pos[offs[q] : offs[q + 1]])
+                        for q in range(len(queries))]
         kms = [kmer_codes(q, self.k, stride) for q in queries]
         lens = np.array([len(k) for k in kms], dtype=np.int64)
         bounds = np.concatenate([[0], np.cumsum(lens)])

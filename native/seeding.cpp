@@ -1,0 +1,118 @@
+// Native k-mer seed lookup: encode + probe the sorted unique-kmer table.
+//
+// The reference's seed detection lives in daligner's C (radix-sorted
+// k-mer lists, SURVEY §2.3); the Python/NumPy port of the lookup became
+// the host bottleneck of the whole mapping stage (GIL-bound short numpy
+// calls).  This translation unit does the per-query work — rolling
+// 2-bit k-mer encode, bucket-table probe, occurrence expansion — in one
+// pass, called via ctypes (the GIL is released, so the seeding thread
+// pool parallelizes for real).
+//
+// Two-phase protocol: phase 1 (out_offsets == nullptr) fills `counts`
+// with seeds per query; the caller prefix-sums into `out_offsets` and
+// calls phase 2, which writes (a_pos, b_pos) pairs.
+
+#include <cstdint>
+
+extern "C" {
+
+void dentist_seed_lookup(
+    const uint8_t* qcodes, const int64_t* qoffs, int64_t nq,
+    int32_t k, int32_t stride, int64_t max_occ,
+    const int32_t* unique_kmers, const int64_t* unique_start,
+    int64_t n_unique,
+    const int64_t* bucket_start, int32_t bucket_bits, int32_t total_bits,
+    const int64_t* sorted_pos,
+    int64_t* counts,
+    const int64_t* out_offsets,
+    int64_t* out_apos, int64_t* out_bpos)
+{
+    const int32_t low_shift = total_bits - bucket_bits;
+    constexpr int64_t BLK = 256;  // staged probe: software prefetch per pass
+    int32_t vbuf[BLK];
+    int64_t ibuf[BLK], lobuf[BLK], hibuf[BLK], ubuf[BLK], sbuf[BLK], obuf[BLK];
+
+    for (int64_t q = 0; q < nq; ++q) {
+        const uint8_t* codes = qcodes + qoffs[q];
+        const int64_t len = qoffs[q + 1] - qoffs[q];
+        int64_t found = 0;
+        int64_t* apos = nullptr;
+        int64_t* bpos = nullptr;
+        if (out_offsets) {
+            apos = out_apos + out_offsets[q];
+            bpos = out_bpos + out_offsets[q];
+        }
+        const int64_t nkm = (len >= k) ? (len - k) / stride + 1 : 0;
+        for (int64_t blk = 0; blk < nkm; blk += BLK) {
+            const int64_t nb = (nkm - blk < BLK) ? (nkm - blk) : BLK;
+            // pass 1: encode + prefetch the bucket bounds (the tables are
+            // far larger than cache; every pass is latency-bound without
+            // the explicit prefetch distance)
+            for (int64_t j = 0; j < nb; ++j) {
+                const int64_t i = (blk + j) * stride;
+                int32_t v = 0;
+                for (int32_t t = 0; t < k; ++t)
+                    v = (v << 2) | (codes[i + t] & 3);
+                vbuf[j] = v;
+                ibuf[j] = i;
+                if (bucket_start)
+                    __builtin_prefetch(&bucket_start[(uint32_t)v >> low_shift]);
+            }
+            // pass 2: bucket bounds + prefetch the unique-kmer entries
+            for (int64_t j = 0; j < nb; ++j) {
+                if (bucket_start) {
+                    const int64_t b = (uint32_t)vbuf[j] >> low_shift;
+                    lobuf[j] = bucket_start[b];
+                    hibuf[j] = bucket_start[b + 1];
+                    __builtin_prefetch(&unique_kmers[lobuf[j]]);
+                } else {
+                    lobuf[j] = 0;
+                    hibuf[j] = n_unique;
+                }
+            }
+            // pass 3: resolve the unique index + prefetch its occ bounds
+            for (int64_t j = 0; j < nb; ++j) {
+                int64_t u = -1;
+                if (bucket_start) {
+                    for (int64_t c = lobuf[j]; c < hibuf[j]; ++c)
+                        if (unique_kmers[c] == vbuf[j]) { u = c; break; }
+                } else {  // small index: binary search
+                    int64_t lo = lobuf[j], hi = hibuf[j];
+                    while (lo < hi) {
+                        const int64_t mid = (lo + hi) >> 1;
+                        if (unique_kmers[mid] < vbuf[j]) lo = mid + 1;
+                        else hi = mid;
+                    }
+                    if (lo < n_unique && unique_kmers[lo] == vbuf[j]) u = lo;
+                }
+                ubuf[j] = u;
+                if (u >= 0)
+                    __builtin_prefetch(&unique_start[u]);
+            }
+            // pass 4: occurrence bounds + prefetch the position run
+            for (int64_t j = 0; j < nb; ++j) {
+                if (ubuf[j] < 0) { obuf[j] = 0; continue; }
+                sbuf[j] = unique_start[ubuf[j]];
+                const int64_t occ = unique_start[ubuf[j] + 1] - sbuf[j];
+                obuf[j] = (occ > 0 && occ <= max_occ) ? occ : 0;
+                if (obuf[j])
+                    __builtin_prefetch(&sorted_pos[sbuf[j]]);
+            }
+            // pass 5: emit
+            for (int64_t j = 0; j < nb; ++j) {
+                const int64_t occ = obuf[j];
+                if (!occ) continue;
+                if (out_offsets) {
+                    for (int64_t c = 0; c < occ; ++c) {
+                        apos[found + c] = sorted_pos[sbuf[j] + c];
+                        bpos[found + c] = ibuf[j];
+                    }
+                }
+                found += occ;
+            }
+        }
+        counts[q] = found;
+    }
+}
+
+}  // extern "C"
