@@ -20,15 +20,62 @@ simulated sequences end-to-end through :func:`dentist_tpu.ops.mapper.map_reads`.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "default_mesh"]
+from ..utils.log import log_json
+
+__all__ = ["make_mesh", "default_mesh", "init_distributed"]
+
+_distributed_initialized = False
+
+
+def init_distributed() -> bool:
+    """Join a multi-host JAX cluster when the environment describes one.
+
+    The reference scales across hosts via Snakemake cluster jobs + file
+    merges (``snakemake/Snakefile`` cluster profiles); the TPU-native
+    equivalent is one process per host in a ``jax.distributed`` cluster,
+    after which ``jax.devices()`` spans every host's chips and the same
+    ``dp`` mesh + ``all_gather`` collectives run unchanged over ICI/DCN.
+
+    Controlled by standard env vars (set by the TPU pod runtime or
+    explicitly): ``DENTIST_TPU_COORDINATOR`` (host:port),
+    ``DENTIST_TPU_NUM_PROCESSES`` and ``DENTIST_TPU_PROCESS_ID``.
+    Returns True when running distributed.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    coord = os.environ.get("DENTIST_TPU_COORDINATOR")
+    if not coord:
+        return False
+    n = int(os.environ.get("DENTIST_TPU_NUM_PROCESSES", "0")) or None
+    pid = os.environ.get("DENTIST_TPU_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=n,
+        process_id=int(pid) if pid is not None else None,
+    )
+    _distributed_initialized = True
+    log_json("info", event="distributedInit", coordinator=coord,
+             processes=jax.process_count(), processIndex=jax.process_index(),
+             globalDevices=len(jax.devices()),
+             localDevices=len(jax.local_devices()))
+    return True
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    """A 1-D ``dp`` mesh over the first ``n_devices`` local devices."""
+    """A 1-D ``dp`` mesh over the first ``n_devices`` (global) devices.
+
+    Under :func:`init_distributed`, ``jax.devices()`` spans all hosts and
+    the mesh is a multi-host mesh; shard_map inputs must then be globally
+    consistent (each flush's lanes are identical on every host, which the
+    deterministic host pipeline guarantees).
+    """
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -36,6 +83,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def default_mesh() -> Mesh | None:
-    """The mesh the pipeline auto-shards over: all local devices, or
-    ``None`` when only one device exists (single-chip path)."""
+    """The mesh the pipeline auto-shards over: all devices (all hosts
+    when distributed), or ``None`` when only one device exists."""
+    init_distributed()
     return make_mesh() if len(jax.devices()) > 1 else None
