@@ -53,6 +53,10 @@ class AlignerConfig:
     min_seeds: int = 3
     min_span: int = 100
     max_seed_gap: int = 2000
+    #: minimum seeds per kb of candidate A-span: random k-mer clusters
+    #: grow linearly with genome size and would flood the extension
+    #: engine; true alignments at ≤25 % error carry ≥10 seeds/kb
+    min_seed_density: float = 4.0
     #: minimum local alignment length, (a_len+b_len)/2 — daligner -l
     min_length: int = 500
     #: maximum error rate 2*diffs/(a_len+b_len) — daligner 1-e
@@ -342,6 +346,7 @@ class Aligner:
                 max_gap=cfg.max_seed_gap, min_seeds=cfg.min_seeds,
                 min_span=cfg.min_span,
                 exclude_identity_seq=b_id if exclude_identity else None,
+                min_density_per_kb=cfg.min_seed_density,
             )
             for cand in cands:
                 self._make_jobs(cand, q, b_id, self_tandem=self_tandem)
@@ -371,6 +376,7 @@ class Aligner:
                 [False] * len(qs) + [True] * len(qs),
                 max_gap=cfg.max_seed_gap, min_seeds=cfg.min_seeds,
                 min_span=cfg.min_span, exclude_identity_seqs=excl + excl,
+                min_density_per_kb=cfg.min_seed_density,
             )
             return rcs, cands
 

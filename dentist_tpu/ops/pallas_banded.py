@@ -210,10 +210,13 @@ _available: bool | None = None
 def pallas_available() -> bool:
     """Probe once whether the Pallas kernel compiles on this backend.
 
-    Opt-in via ``DENTIST_TPU_PALLAS=1``: on the current single-chip
-    setup per-dispatch overhead dominates and the XLA scan kernel is as
-    fast or faster; the Pallas path is kept as the alternative backend
-    (verified numerically identical on TPU).
+    Opt-in via ``DENTIST_TPU_PALLAS=1``.  The production path is the
+    chunked XLA scan (``banded._extend_scan_v3``: carried B window,
+    zero in-loop memory traffic, packed single-fetch results) which
+    measured ~7× faster than this kernel at production shapes AND
+    compiles an order of magnitude faster than Mosaic on this backend;
+    the Pallas path is kept as a verified-identical alternative backend
+    and as the template for a future multi-row-per-step VMEM kernel.
     """
     import os
 

@@ -64,9 +64,11 @@ class KmerIndex:
         k: int = DEFAULT_K,
         mask_intervals: np.ndarray | None = None,
     ):
-        """`mask_intervals`: (M, 3) global-coordinate (unused_tag, begin, end)
-        or (M, 2) begin/end intervals in *global* coordinates where seeds
-        are suppressed (soft masking — daligner ``-m`` track semantics).
+        """`mask_intervals`: (M, 3) region triples (contig_tag 1-based,
+        local begin, local end) — the ``Region.iv`` layout every mask in
+        the framework uses — or (M, 2) begin/end intervals already in
+        *global* concatenated coordinates.  Seeds inside are suppressed
+        (soft masking — daligner ``-m`` track semantics).
         """
         self.k = k
         self.offsets = np.asarray(offsets, dtype=np.int64)
@@ -83,7 +85,12 @@ class KmerIndex:
         if mask_intervals is not None and len(mask_intervals):
             mi = np.asarray(mask_intervals, dtype=np.int64)
             if mi.shape[1] == 3:
-                mi = mi[:, 1:]
+                # tagged LOCAL intervals → global concatenated coords
+                # (previously the tag was dropped and local coordinates
+                # were misread as global: masks on any contig but the
+                # first landed at the wrong positions)
+                base = self.offsets[mi[:, 0] - 1]
+                mi = np.stack([mi[:, 1] + base, mi[:, 2] + base], axis=1)
             for b, e in mi:
                 valid[max(0, b - k + 1) : e] = False
         km, pos = km[valid], pos[valid]
@@ -262,6 +269,7 @@ def cluster_seeds(
     min_seeds: int = 3,
     min_span: int = 100,
     exclude_identity_seq: int | None = None,
+    min_density_per_kb: float = 5.0,
 ) -> list[SeedCandidate]:
     """Group seeds of ONE query into diagonal-consistent candidates.
 
@@ -277,6 +285,7 @@ def cluster_seeds(
         max_gap=max_gap, slope_slack=slope_slack, slope_frac=slope_frac,
         min_seeds=min_seeds, min_span=min_span,
         exclude_identity_seqs=[exclude_identity_seq],
+        min_density_per_kb=min_density_per_kb,
     )[0]
 
 
@@ -290,6 +299,7 @@ def cluster_seeds_batched(
     min_seeds: int = 3,
     min_span: int = 100,
     exclude_identity_seqs: list[int | None] | None = None,
+    min_density_per_kb: float = 5.0,
 ) -> list[list[SeedCandidate]]:
     """:func:`cluster_seeds` over a whole chunk of (query, strand) groups.
 
@@ -386,7 +396,15 @@ def cluster_seeds_batched(
             bp = np.concatenate([b_pos[s:e] for s, e in segs])
             o3 = np.argsort(ap, kind="stable")
             ap, bp = ap[o3], bp[o3]
-        if ap[-1] - ap[0] < min_span:
+        span = int(ap[-1] - ap[0])
+        if span < min_span:
+            continue
+        # seed-density filter: true alignments at ≤30 % error carry tens
+        # of k=14 seeds per kb, while random k-mer triples that cluster
+        # by chance are sparse over long spans — and their count grows
+        # linearly with genome size, flooding the extension engine at
+        # 100 Mb+ scale (daligner's hit-bases threshold serves this role)
+        if n < min_seeds + span * min_density_per_kb / 1000.0:
             continue
         out[g].append(SeedCandidate(sq, complements[g], ap, bp))
     return out

@@ -101,20 +101,24 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
 
     mesh = default_mesh()
     c, o, l = contigs.codes, contigs.offsets, contigs.lengths
-    dust = dust_mask(c, o, l)
-    tan = tandem_mask(c, o, l)
-    self_las = align_store_pair(
-        c, o, l, [contigs.get(i + 1) for i in range(len(contigs))],
-        config=AlignerConfig(), self_alignment=True,
-        mask_intervals=(dust | tan).iv, mesh=mesh,
-    )
+    with trace_execution("masks.dust"):
+        dust = dust_mask(c, o, l)
+    with trace_execution("masks.tandem"):
+        tan = tandem_mask(c, o, l)
+    with trace_execution("masks.selfAlignment"):
+        self_las = align_store_pair(
+            c, o, l, [contigs.get(i + 1) for i in range(len(contigs))],
+            config=AlignerConfig(), self_alignment=True,
+            mask_intervals=(dust | tan).iv, mesh=mesh,
+        )
     self_mask = coverage_mask(pack_chain_intervals(self_las), l, 0, cfg.max_coverage_self)
     repeats = self_mask | tan
 
-    las, chains = map_reads(
-        c, o, l, read_list, config=MapperConfig(),
-        mask_intervals=(dust | repeats).iv, mesh=mesh,
-    )
+    with trace_execution("masks.mapReads"):
+        las, chains = map_reads(
+            c, o, l, read_list, config=MapperConfig(),
+            mask_intervals=(dust | repeats).iv, mesh=mesh,
+        )
     _, hi_reads = repeat_coverage_bounds_reads(cfg.read_coverage)
     reads_mask = coverage_mask(pack_chain_intervals(las), l, 0, hi_reads)
     # improper-coverage mask: regions where chains that do NOT properly
@@ -133,8 +137,10 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
     repeats = repeats | reads_mask | improper_mask
 
     # homogenization round trip (mask-H): assembly → reads → assembly
-    on_reads = propagate_mask(repeats, las, read_lengths)
-    homogenized = repeats | propagate_mask_b_to_a(on_reads, las, l, read_lengths)
+    with trace_execution("masks.homogenize"):
+        on_reads = propagate_mask(repeats, las, read_lengths)
+        homogenized = repeats | propagate_mask_b_to_a(on_reads, las, l,
+                                                      read_lengths)
     return dust, repeats, homogenized, las, chains
 
 

@@ -17,8 +17,11 @@ import numpy as np  # noqa: E402
 
 def main():
     from dentist_tpu.utils.cache import enable_compile_cache
+    from dentist_tpu.utils.log import set_log_level
 
     enable_compile_cache()
+    if "--timings" in sys.argv:
+        set_log_level("diagnostic")
 
     from dentist_tpu.eval.check_results import check_results
     from dentist_tpu.io.fasta import FastaRecord
