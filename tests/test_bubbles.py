@@ -29,12 +29,12 @@ def test_bubble_resolution_recovers_skipped_contig():
                      np.array([len(r) for r in read_list]))
 
     # mask the middle contig entirely: seeds suppressed → reads skip it
+    # (mask triples are (contig_tag, local begin, local end), the
+    # Region.iv layout the index converts to global coordinates)
     repeats = Region.from_triples([(2, 0, 800)])
-    mask_global = Region.from_triples(
-        [(0, int(contigs.offsets[1]), int(contigs.offsets[1]) + 800)])
     las, chains = map_reads(contigs.codes, contigs.offsets, contigs.lengths,
                             read_list, config=MapperConfig(),
-                            mask_intervals=mask_global.iv)
+                            mask_intervals=repeats.iv)
     assert not np.any(las.a_id == 2), "mask must suppress direct c2 anchors"
 
     ctx = ChainCtx(las, chains, contigs.lengths, reads.lengths)
