@@ -167,8 +167,24 @@ def split_scaffolds(records: list[FastaRecord]) -> tuple[SeqStore, ScaffoldStruc
 
 
 def load_assembly(path) -> tuple[SeqStore, ScaffoldStructure]:
+    """Load an assembly from FASTA or a Dazzler ``.dam``/``.db`` database
+    (so assemblies prepared for the reference toolchain work directly)."""
+    if str(path).endswith((".dam", ".db")):
+        from ..io.dazzdb import read_dazz
+
+        db = read_dazz(str(path))
+        records = [FastaRecord(name, codes)
+                   for name, codes in db.scaffold_records()]
+        return split_scaffolds(records)
     return split_scaffolds(read_fasta(path))
 
 
 def load_reads(path) -> SeqStore:
+    """Load reads from FASTA or a Dazzler ``.db`` database."""
+    if str(path).endswith((".db", ".dam")):
+        from ..io.dazzdb import read_dazz
+
+        db = read_dazz(str(path))
+        return SeqStore.from_records(
+            [FastaRecord(n, c) for n, c in db.scaffold_records()])
     return SeqStore.from_records(read_fasta(path))

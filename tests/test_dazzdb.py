@@ -69,3 +69,29 @@ def test_cli_fasta2dam_dbshow(tmp_path):
     assert r.returncode == 0, r.stderr
     assert ">s1" in r.stdout and "ACGTACGT" in r.stdout.upper()
     assert "NNNN" in r.stdout.upper()
+
+
+def test_load_assembly_from_dam(tmp_path):
+    """The pipeline's loaders accept Dazzler databases directly."""
+    from dentist_tpu.models.sequences import load_assembly, load_reads
+
+    fa = tmp_path / "asm.fasta"
+    fa.write_text(">s1\nACGTACGTACGT" + "N" * 6 + "GGGGCCCCAAAA\n>s2\nTTTTGGGG\n")
+    dam = str(tmp_path / "asm.dam")
+    from dentist_tpu.io.fasta import read_fasta
+
+    records = read_fasta(str(fa))
+    write_dam(dam, [(r.header, r.codes) for r in records])
+
+    store_fa, struct_fa = load_assembly(str(fa))
+    store_dam, struct_dam = load_assembly(dam)
+    assert len(store_fa) == len(store_dam) == 3
+    np.testing.assert_array_equal(store_fa.codes, store_dam.codes)
+    assert [
+        (g.begin_global_contig_id, g.end_global_contig_id) for g in struct_fa.gaps
+    ] == [(g.begin_global_contig_id, g.end_global_contig_id) for g in struct_dam.gaps]
+
+    db = str(tmp_path / "reads.db")
+    write_db(db, [r.codes for r in records])
+    reads = load_reads(db)
+    assert len(reads) == 2
