@@ -32,11 +32,15 @@ def main():
     from dentist_tpu.sim.reads import simulate_reads
     from dentist_tpu.models.sequences import SeqStore
 
+    mb = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--mb="):
+            mb = int(a.split("=")[1])
     t0 = time.time()
-    g = random_genome(10_000_000, seed=42)
-    g = insert_repeats(g, n_copies=40, repeat_length=3000, seed=43)
+    g = random_genome(mb * 1_000_000, seed=42)
+    g = insert_repeats(g, n_copies=4 * mb, repeat_length=3000, seed=43)
     truth = [g]
-    gaps = random_gaps(truth, n_gaps=8, min_size=100, max_size=1000,
+    gaps = random_gaps(truth, n_gaps=mb, min_size=100, max_size=1000,
                        margin=50_000, seed=44)
     asm = build_partial_assembly(truth, gaps)
     records = [FastaRecord(f"scaf{i}", s) for i, s in enumerate(asm)]
