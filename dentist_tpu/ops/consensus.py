@@ -160,6 +160,9 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
         valid = (j >= 0) & (j <= read_lens[:, None]) & (i <= t_lens)[..., None]
         D = jnp.where(valid, jnp.minimum(D, _INF), _INF)
         move = jnp.where(from_left, _LEFT, jnp.where(choose_up, _UP, _DIAG))
+        # bits 2-3 carry the read char, bit 4 the mismatch flag: the
+        # traceback then needs no (S, N) gathers from reads/templates
+        move = move | (r_ch << 2) | (sub << 4)
         move = jnp.where(valid, move, _NONE).astype(jnp.uint8)
         at_end = jnp.where((j == read_lens[:, None]) & valid, D, _INF).min(axis=1)
         return (D, buf), (move, at_end)
@@ -201,7 +204,8 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
         pp = j - off
         inb = (pp >= 0) & (pp < W) & (i >= 1)
         flat = (jnp.clip(i - 1, 0, T - 1) * N + lane) * W + jnp.clip(pp, 0, W - 1)
-        mv = jnp.where(active & inb, moves_flat[flat], _NONE).astype(jnp.int32)
+        mv_raw = jnp.where(active & inb, moves_flat[flat], _NONE).astype(jnp.int32)
+        mv = mv_raw & 3
         is_d = mv == _DIAG
         is_u = mv == _UP
         is_l = mv == _LEFT
@@ -209,15 +213,16 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
         j2 = j - (is_d | is_l)
         run2 = jnp.where(is_l, run + 1, 0)
         active2 = active & (mv != _NONE) & (i2 > 0) & (j2 > 0)
-        return (i2, j2, run2, active2), (i, j, mv, run)
+        return (i2, j2, run2, active2), (i, j, mv_raw, run)
 
     zero = jnp.zeros_like(lane)
     init = (i0, j_start, zero, covered & (i0 > 0) & (j_start > 0))
-    (i_f, _, _, _), (I, J, MV, RUN) = jax.lax.scan(tb, init, None, length=S)
+    (i_f, _, _, _), (I, J, MV_RAW, RUN) = jax.lax.scan(tb, init, None, length=S)
 
     # ---- scatter path steps into dense per-lane column arrays
     lane2 = jnp.broadcast_to(lane[None, :], (S, N))
-    base = reads_i.reshape(-1)[lane2 * RL + jnp.clip(J - 1, 0, RL - 1)]
+    MV = MV_RAW & 3
+    base = (MV_RAW >> 2) & 3  # read char, embedded in the move code
     diag_or_up = (MV == _DIAG) | (MV == _UP)
     is_left = MV == _LEFT
 
@@ -240,7 +245,7 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
         jnp.where(diag_or_up, J - (MV == _DIAG), -1))
     jpath = jp0[:, : T + 1]
 
-    mism = (MV == _DIAG) & (base != tpl.reshape(-1)[jnp.clip(I - 1, 0, T - 1) * N + lane2])
+    mism = (MV == _DIAG) & (((MV_RAW >> 4) & 1) == 1)  # embedded sub flag
     contrib = mism | (MV == _UP) | is_left
     w = jnp.where(is_left, jnp.minimum(I, t_lens[lane2] - 1), I - 1) // TRACE_SPACING
     win0 = jnp.zeros((N, NWIN + 1), jnp.int32)
