@@ -57,6 +57,14 @@ class AlignerConfig:
     #: grow linearly with genome size and would flood the extension
     #: engine; true alignments at ≤25 % error carry ≥10 seeds/kb
     min_seed_density: float = 4.0
+    #: cap on extension candidates per query (both strands, largest
+    #: A-spans kept; 0 = unlimited): reads from repeat loci seed against
+    #: the unmasked edge stubs of every copy (coverage-mask ramps) —
+    #: their true locus always carries the longest span, and damapper
+    #: likewise reports only the best few chains.  Read mapping enables
+    #: this (MapperConfig); self-alignment/datander must NOT (a whole
+    #: contig legitimately yields one candidate per repeat-copy pair)
+    max_candidates: int = 0
     #: minimum local alignment length, (a_len+b_len)/2 — daligner -l
     min_length: int = 500
     #: maximum error rate 2*diffs/(a_len+b_len) — daligner 1-e
@@ -348,6 +356,7 @@ class Aligner:
                 exclude_identity_seq=b_id if exclude_identity else None,
                 min_density_per_kb=cfg.min_seed_density,
             )
+            cands, _ = _cap_candidates(cands, [], cfg.max_candidates)
             for cand in cands:
                 self._make_jobs(cand, q, b_id, self_tandem=self_tandem)
 
@@ -391,9 +400,12 @@ class Aligner:
                 if ci + ahead < len(chunks):
                     futures.append(ex.submit(do_chunk, *chunks[ci + ahead]))
                 for i, (q, qid) in enumerate(zip(qs, qids)):
-                    for cand in cands[i]:
+                    fwd_c, rev_c = cands[i], cands[len(qs) + i]
+                    keep_f, keep_r = _cap_candidates(fwd_c, rev_c,
+                                                     cfg.max_candidates)
+                    for cand in keep_f:
                         self._make_jobs(cand, q, qid)
-                    for cand in cands[len(qs) + i]:
+                    for cand in keep_r:
                         self._make_jobs(cand, rcs[i], qid)
 
     def finish(self) -> LocalAlignmentSet:
@@ -411,6 +423,19 @@ class Aligner:
         las = _assemble(self._cands, self.cfg)
         self._cands = []
         return las
+
+
+def _cap_candidates(fwd: list, rev: list, limit: int):
+    """Keep the ``limit`` largest-A-span candidates across both strands."""
+    total = len(fwd) + len(rev)
+    if limit <= 0 or total <= limit:
+        return fwd, rev
+    spans = [(int(c.a_pos[-1] - c.a_pos[0]), 0, i) for i, c in enumerate(fwd)]
+    spans += [(int(c.a_pos[-1] - c.a_pos[0]), 1, i) for i, c in enumerate(rev)]
+    spans.sort(key=lambda t: -t[0])
+    keep_f = sorted(i for _, s, i in spans[:limit] if s == 0)
+    keep_r = sorted(i for _, s, i in spans[:limit] if s == 1)
+    return [fwd[i] for i in keep_f], [rev[i] for i in keep_r]
 
 
 def _interp_slope1(x, xp, fp):

@@ -33,7 +33,8 @@ __all__ = ["MapperConfig", "map_reads"]
 
 @dataclass
 class MapperConfig:
-    aligner: AlignerConfig = field(default_factory=AlignerConfig)
+    aligner: AlignerConfig = field(
+        default_factory=lambda: AlignerConfig(max_candidates=12))
     chaining: ChainingOptions = field(
         default_factory=lambda: ChainingOptions(min_relative_score=0.0, min_score=0)
     )

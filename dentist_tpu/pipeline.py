@@ -155,21 +155,24 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
         min_anchor_length=cfg.min_anchor_length,
         min_spanning_reads=cfg.min_spanning_reads,
     )
-    pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized, collect_cfg,
-                                contigs=contigs, reads=reads)
+    with trace_execution("stage.collect"):
+        pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized,
+                                    collect_cfg, contigs=contigs, reads=reads)
     _checkpoint(cfg, pile_ups=pile_ups)
-    insertions = process_pile_ups(
-        pile_ups, ctx, contigs, reads, homogenized,
-        ProcessConfig(allow_single_reads=cfg.allow_single_reads,
-                      max_insertion_error=cfg.max_insertion_error,
-                      # the reference defaults minReadsPerPileUp to
-                      # defaultMinSpanningReads (commandline.d:2131-2136)
-                      min_reads_per_pile_up=cfg.min_spanning_reads),
-    )
+    with trace_execution("stage.process"):
+        insertions = process_pile_ups(
+            pile_ups, ctx, contigs, reads, homogenized,
+            ProcessConfig(allow_single_reads=cfg.allow_single_reads,
+                          max_insertion_error=cfg.max_insertion_error,
+                          # the reference defaults minReadsPerPileUp to
+                          # defaultMinSpanningReads (commandline.d:2131-2136)
+                          min_reads_per_pile_up=cfg.min_spanning_reads),
+        )
     _checkpoint(cfg, insertions=insertions)
     out_cfg = OutputConfig(join_policy=cfg.join_policy,
                            max_insertion_error=cfg.max_insertion_error)
-    result = build_output(contigs, structure, insertions, out_cfg)
+    with trace_execution("stage.output"):
+        result = build_output(contigs, structure, insertions, out_cfg)
 
     if cfg.no_validation:
         return result
