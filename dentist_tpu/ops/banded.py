@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["extend_batch", "extend_batch_multi_async", "unpack_extension",
-           "sharded_extend_v3", "DIFF_PENALTY", "INF"]
+           "extend_batch_packed_async", "bw_for", "sharded_extend_v3",
+           "DIFF_PENALTY", "INF"]
 
 DIFF_PENALTY = 6  # score = advance - 6*diffs → break-even at ~33% error
 INF = np.int32(1 << 28)
@@ -211,6 +212,87 @@ def _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
     # trace samples — split on the host by :func:`unpack_extension`.
     return jnp.concatenate(
         [best_r[None], best_j[None], best_d[None], best_s[None], jd], axis=0)
+
+
+def bw_for(R: int, W: int) -> int:
+    """B-window width for an R-row bucket, rounded to a 2-bit-pack multiple."""
+    bw = int(1.4 * R) + 2 * W + 8
+    return -(-bw // 4) * 4
+
+
+def _pack2bit(a: np.ndarray) -> np.ndarray:
+    """(N, X) 2-bit codes → (N, X//4) bytes, first base in the high bits
+    (the Dazzler ``Compress_Read`` byte order; X must be a multiple of 4)."""
+    q = a.reshape(a.shape[0], -1, 4).astype(np.uint16)
+    return ((q[:, :, 0] << 6) | (q[:, :, 1] << 4) | (q[:, :, 2] << 2)
+            | q[:, :, 3]).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "N", "K", "W", "bound_diag"))
+def _extend_scan_v3_packed(chars_pack, meta, R: int, N: int, K: int, W: int,
+                           bound_diag: bool = True):
+    """:func:`_extend_scan_v3` fed from ONE packed transfer.
+
+    The device tunnel charges ~tens of ms of latency per transfer RPC and
+    is bandwidth-limited, so the eight per-dispatch input arrays are
+    collapsed into two: ``chars_pack`` (N, R/4 + BW/4) uint8 — the A and
+    B characters 2-bit packed, 4× fewer bytes — and ``meta``
+    (5N + K,) int32 = [b_len | lane_k | a_len | diag_lo | diag_hi |
+    num_k].  The K band schedules are reconstructed on device from their
+    rational slopes (``offs_k[r, k] = (r·num_k)//R − W/2``), which is how
+    the host built them (`aligner._flush_group`).
+    """
+    RP = R // 4
+    a_chars = _unpack2bit(chars_pack[:, :RP]).T  # (R, N)
+    b_win = _unpack2bit(chars_pack[:, RP:])
+    b_len = meta[0 * N : 1 * N]
+    lane_k = meta[1 * N : 2 * N]
+    a_len = meta[2 * N : 3 * N]
+    diag_lo = meta[3 * N : 4 * N]
+    diag_hi = meta[4 * N : 5 * N]
+    num_k = meta[5 * N : 5 * N + K]
+    rows = jnp.arange(R + 1, dtype=jnp.int32)[:, None]
+    offs_k = (rows * num_k[None, :]) // R - (W // 2)
+    return _extend_scan_v3(a_chars, b_win, b_len, offs_k, lane_k, a_len,
+                           diag_lo, diag_hi, W=W, bound_diag=bound_diag)
+
+
+def _unpack2bit(p):
+    """(N, X/4) packed bytes → (N, X) codes on device (inverse of
+    :func:`_pack2bit`; gather-free: broadcast shift + reshape)."""
+    sh = jnp.array([6, 4, 2, 0], dtype=jnp.uint8)
+    return ((p[:, :, None] >> sh[None, None, :]) & 3).reshape(p.shape[0], -1)
+
+
+def extend_batch_packed_async(a_win, b_win, a_len, b_len, num_k, lane_k,
+                              W: int = 256, diag_lo=None, diag_hi=None):
+    """Single-transfer dispatch of the multi-schedule extension.
+
+    Same result as :func:`extend_batch_multi_async` with
+    ``offs_k[r, k] = (r·num_k[k])//R − W/2``; inputs are 2-bit packed and
+    shipped as two arrays (chars + int32 metadata) to pay the device
+    tunnel's per-RPC latency twice instead of eight times.  ``b_win``
+    must be ``bw_for(R, W)`` wide.  Consume via :func:`unpack_extension`.
+    """
+    N, R = a_win.shape
+    K = len(num_k)
+    if diag_lo is None:
+        diag_lo = np.full(N, -DIAG_UNBOUNDED, dtype=np.int32)
+    if diag_hi is None:
+        diag_hi = np.full(N, DIAG_UNBOUNDED, dtype=np.int32)
+    bound_diag = bool(np.any(np.asarray(diag_lo) != -DIAG_UNBOUNDED)
+                      or np.any(np.asarray(diag_hi) != DIAG_UNBOUNDED))
+    chars_pack = np.concatenate([_pack2bit(a_win), _pack2bit(b_win)], axis=1)
+    meta = np.concatenate([
+        np.asarray(b_len, dtype=np.int32),
+        np.asarray(lane_k, dtype=np.int32),
+        np.asarray(a_len, dtype=np.int32),
+        np.asarray(diag_lo, dtype=np.int32),
+        np.asarray(diag_hi, dtype=np.int32),
+        np.asarray(num_k, dtype=np.int32),
+    ])
+    return _extend_scan_v3_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
+                                  R=R, N=N, K=K, W=W, bound_diag=bound_diag)
 
 
 #: compiled sharded kernels keyed by (mesh devices, W) — shard_map closures

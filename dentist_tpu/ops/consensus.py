@@ -255,13 +255,44 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
 
     spans = jnp.stack([jnp.where(covered, i_f, 0), jnp.where(covered, i0, 0)], axis=1)
     diffs = jnp.where(covered, dmin, 0)
-    # two packed blocks: each result array fetched separately pays a full
-    # device round trip (7 RPCs per dispatch dominated the stage)
+    # ONE packed block: each result array fetched separately pays a full
+    # device round trip (7 RPCs per dispatch dominated the stage); the
+    # int8 half is bitcast into int32 words (4 bytes each, minor-dim
+    # packed) and concatenated with the int32 half
     blk8 = jnp.concatenate([sym, ins.reshape(N, 4 * (T + 1))], axis=1)
     blk32 = jnp.concatenate(
         [jpath, spans, diffs[:, None], win,
          covered.astype(jnp.int32)[:, None]], axis=1)
-    return blk8, blk32
+    blk8_words = jax.lax.bitcast_convert_type(
+        blk8.astype(jnp.uint8).reshape(N, (5 * T + 4) // 4, 4), jnp.int32)
+    return jnp.concatenate([blk8_words, blk32], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "RL", "W", "S", "NWIN"))
+def _nw_round_packed(chars_pack, meta, T: int, RL: int, W: int, S: int,
+                     NWIN: int):
+    """:func:`_nw_round_kernel` fed from TWO transfers instead of five.
+
+    ``chars_pack`` (N, T/4 + RL/4 + T/4) uint8 = [template 2-bit packed |
+    read 2-bit packed | band-center steps 2-bit packed]; ``meta``
+    (3N,) int32 = [t_lens | read_lens | centers_row0].  Band centers are
+    step-clamped to {0, 1, 2} per row (``_clamp_steps``), so they travel
+    as 2-bit steps and are rebuilt with one cumsum.
+    """
+    from .banded import _unpack2bit
+
+    N = meta.shape[0] // 3
+    TP, RP = T // 4, RL // 4
+    tpl = _unpack2bit(chars_pack[:, :TP]).T  # (T, N)
+    reads = _unpack2bit(chars_pack[:, TP : TP + RP])  # (N, RL)
+    steps = _unpack2bit(chars_pack[:, TP + RP :]).T.astype(jnp.int32)  # (T, N)
+    t_lens = meta[:N]
+    read_lens = meta[N : 2 * N]
+    c0 = meta[2 * N :]
+    centers = jnp.concatenate(
+        [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
+    return _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
+                            T=T, W=W, S=S, NWIN=NWIN)
 
 
 # ======================================================================
@@ -353,17 +384,26 @@ def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]
             chunk = lidx[c0 : c0 + max_n]
             inflight.append((chunk, TB, RLB,
                              _dispatch_chunk(lanes, chunk, TB, RLB, W)))
+    # fetch all chunks concurrently: every result fetch pays a full
+    # device-tunnel round trip, and they pipeline when overlapped
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
     retries = []
-    for chunk, TB, RLB, handle in inflight:
-        _collect_chunk(lanes, chunk, TB, handle, outs)
+    for (chunk, TB, RLB, handle), arr in zip(inflight, fetched):
+        _collect_chunk(lanes, chunk, TB, handle, outs, fetched=arr)
         # retry uncovered lanes with proportional centers
         retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
         if retry:
             retries.append((retry, TB, RLB,
                             _dispatch_chunk(lanes, retry, TB, RLB, W,
                                             jpath_centers=False)))
-    for retry, TB, RLB, handle in retries:
-        _collect_chunk(lanes, retry, TB, handle, outs, only_if_better=True)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        refetched = list(ex.map(lambda t: np.asarray(t[3]), retries))
+    for (retry, TB, RLB, handle), arr in zip(retries, refetched):
+        _collect_chunk(lanes, retry, TB, handle, outs, only_if_better=True,
+                       fetched=arr)
 
     # assemble per-job outputs
     results = []
@@ -397,12 +437,14 @@ def TB_nwin(T: int) -> int:
 
 def _dispatch_chunk(lanes, chunk, TB, RLB, W, jpath_centers=True):
     """Assemble + dispatch one chunk; returns the async device handle."""
+    from .banded import _pack2bit
+
     # pad the lane count to a power of 2 (min 8): N is a traced shape,
     # so arbitrary retry/remainder lane counts would each recompile the
     # kernel; padding lanes carry empty reads and their outputs are
     # simply not read back
     N = max(8, 1 << (len(chunk) - 1).bit_length())
-    tpl = np.zeros((TB, N), dtype=np.uint8)
+    tpl = np.zeros((N, TB), dtype=np.uint8)
     t_lens = np.ones(N, dtype=np.int32)
     reads_arr = np.zeros((N, RLB), dtype=np.uint8)
     read_lens = np.zeros(N, dtype=np.int32)
@@ -410,7 +452,7 @@ def _dispatch_chunk(lanes, chunk, TB, RLB, W, jpath_centers=True):
     for k, li in enumerate(chunk):
         ji, ri, template, r, jpath_prev = lanes[li]
         T = len(template)
-        tpl[:T, k] = template
+        tpl[k, :T] = template
         t_lens[k] = T
         reads_arr[k, : len(r)] = r
         read_lens[k] = len(r)
@@ -423,20 +465,25 @@ def _dispatch_chunk(lanes, chunk, TB, RLB, W, jpath_centers=True):
         centers[: T + 1, k] = c[:, 0]
         centers[T + 1 :, k] = c[T, 0]
     NWIN = max(TB_nwin(TB), 1)
-    return _nw_round_kernel(
-        jnp.asarray(tpl), jnp.asarray(t_lens), jnp.asarray(reads_arr),
-        jnp.asarray(read_lens), jnp.asarray(centers),
-        T=TB, W=W, S=TB + RLB, NWIN=NWIN,
-    )
+    steps = np.clip(np.diff(centers, axis=0), 0, 2).astype(np.uint8).T  # (N, TB)
+    chars_pack = np.concatenate(
+        [_pack2bit(tpl), _pack2bit(reads_arr), _pack2bit(steps)], axis=1)
+    meta = np.concatenate([t_lens, read_lens, centers[0].astype(np.int32)])
+    return _nw_round_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
+                            T=TB, RL=RLB, W=W, S=TB + RLB, NWIN=NWIN)
 
 
-def _collect_chunk(lanes, chunk, TB, handle, outs, only_if_better=False):
-    """Fetch a dispatched chunk's packed blocks and unpack per lane."""
-    blk8, blk32 = np.asarray(handle[0]), np.asarray(handle[1])
+def _collect_chunk(lanes, chunk, TB, handle, outs, only_if_better=False,
+                   fetched=None):
+    """Fetch a dispatched chunk's packed block and unpack per lane."""
+    packed = np.asarray(handle) if fetched is None else fetched
     NWIN = max(TB_nwin(TB), 1)
-    N_r = blk8.shape[0]
-    sym = blk8[:, :TB]
-    ins = blk8[:, TB:].reshape(N_r, TB + 1, 4)
+    N_r = packed.shape[0]
+    n8 = (5 * TB + 4) // 4
+    blk8 = packed[:, :n8].view(np.uint8).reshape(N_r, 5 * TB + 4)
+    blk32 = packed[:, n8:]
+    sym = blk8[:, :TB].view(np.int8)
+    ins = blk8[:, TB:].view(np.int8).reshape(N_r, TB + 1, 4)
     jpath = blk32[:, : TB + 1]
     spans = blk32[:, TB + 1 : TB + 3]
     diffs = blk32[:, TB + 3]
@@ -709,8 +756,11 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
             jnp.asarray(rwin_len), T=TW, global_ends=True,
         )
         inflight.append((c0, len(chunk), cov_ok, out))
-    for c0, n_chunk, cov_ok, out in inflight:
-        d = np.asarray(out)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
+    for (c0, n_chunk, cov_ok, out), d in zip(inflight, fetched):
         db = d[:n_chunk]
         de = d[half_v : half_v + n_chunk]
         ok = cov_ok[:n_chunk] & (db < _INF) & (de < _INF)

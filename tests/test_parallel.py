@@ -77,3 +77,55 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_packed_dispatch_equals_multi_array():
+    """The single-transfer 2-bit-packed dispatch must be bit-identical to
+    the eight-array dispatch (same kernel, different input marshalling)."""
+    from dentist_tpu.ops.banded import bw_for, extend_batch_packed_async
+
+    W, N, R, K = 64, 16, 252, 4
+    BW = bw_for(R, W)
+    rng = np.random.default_rng(11)
+    a_win = rng.integers(0, 4, (N, R)).astype(np.uint8)
+    b_win = rng.integers(0, 4, (N, BW)).astype(np.uint8)
+    a_len = rng.integers(R // 2, R + 1, N).astype(np.int32)
+    b_len = rng.integers(R // 2, int(1.1 * R), N).astype(np.int32)
+    num_k = np.array([R, int(1.05 * R), int(0.95 * R), R], np.int32)
+    lane_k = (np.arange(N) % K).astype(np.int32)
+    rows = np.arange(R + 1, dtype=np.int64)
+    offs_k = ((rows[:, None] * num_k[None, :]) // R - W // 2).astype(np.int32)
+
+    ref = np.asarray(extend_batch_multi_async(
+        a_win, b_win, a_len, b_len, offs_k, lane_k, W=W))
+    got = np.asarray(extend_batch_packed_async(
+        a_win, b_win, a_len, b_len, num_k, lane_k, W=W))
+    assert np.array_equal(ref, got)
+
+
+def test_packed_dispatch_equals_multi_array_diag_bounds():
+    from dentist_tpu.ops.banded import (DIAG_UNBOUNDED, bw_for,
+                                        extend_batch_packed_async)
+
+    W, N, R, K = 64, 8, 252, 2
+    BW = bw_for(R, W)
+    rng = np.random.default_rng(12)
+    a_win = rng.integers(0, 4, (N, R)).astype(np.uint8)
+    b_win = rng.integers(0, 4, (N, BW)).astype(np.uint8)
+    a_len = np.full(N, R, np.int32)
+    b_len = np.full(N, R, np.int32)
+    num_k = np.array([R, R], np.int32)
+    lane_k = (np.arange(N) % K).astype(np.int32)
+    diag_lo = np.full(N, -DIAG_UNBOUNDED, np.int32)
+    diag_hi = np.full(N, DIAG_UNBOUNDED, np.int32)
+    diag_hi[::2] = 40  # tandem-style identity exclusion on even lanes
+    rows = np.arange(R + 1, dtype=np.int64)
+    offs_k = ((rows[:, None] * num_k[None, :]) // R - W // 2).astype(np.int32)
+
+    ref = np.asarray(extend_batch_multi_async(
+        a_win, b_win, a_len, b_len, offs_k, lane_k, W=W,
+        diag_lo=diag_lo, diag_hi=diag_hi))
+    got = np.asarray(extend_batch_packed_async(
+        a_win, b_win, a_len, b_len, num_k, lane_k, W=W,
+        diag_lo=diag_lo, diag_hi=diag_hi))
+    assert np.array_equal(ref, got)
