@@ -485,7 +485,22 @@ def cmd_validate_regions(args):
     store, _ = _load_assembly(args.assembly)
     reads = _load_reads(args.reads)
     las, chains = load_alignments(args.alignments)
-    regions = load_mask(args.regions)
+    # regions mask may carry bed2mask --data-comments id lists (the
+    # reference's DazzExtra side channel, validateRegions.d:208-253)
+    regions, extras = load_mask(args.regions, with_extras=True)
+    region_cids, region_rids = None, None
+    cid_lists = extras.get("contig_ids")
+    rid_lists = extras.get("read_ids")
+    if cid_lists is not None and len(cid_lists) == len(regions.iv):
+        region_cids = {
+            (int(t), int(b), int(e)): tuple(int(x) for x in ids)
+            for (t, b, e), ids in zip(regions.iv, cid_lists) if len(ids) == 2
+        }
+    if rid_lists is not None and len(rid_lists) == len(regions.iv):
+        region_rids = {
+            (int(t), int(b), int(e)): tuple(int(x) for x in ids)
+            for (t, b, e), ids in zip(regions.iv, rid_lists) if len(ids)
+        }
     min_cov = args.min_coverage_reads
     if min_cov is None:
         if args.read_coverage is None:
@@ -494,7 +509,9 @@ def cmd_validate_regions(args):
     cfg = ValidateConfig(min_coverage_reads=min_cov,
                          min_spanning_reads=args.min_spanning_reads)
     reports, weak = validate_regions(las, chains or [], regions, store.lengths,
-                                     reads.lengths, cfg)
+                                     reads.lengths, cfg,
+                                     region_contig_ids=region_cids,
+                                     region_read_ids=region_rids)
     for r in reports:
         print(json.dumps(r.to_json()))
     if args.weak_coverage_mask:
@@ -524,6 +541,70 @@ def cmd_import_las(args):
                  spacing=spacing)
     save_alignments(args.out_alignments, las)
     log_json("info", event="importLas", numLocalAlignments=len(las))
+
+
+@command("export-mask")
+def cmd_export_mask(args):
+    """Write a mask as a Dazzler track (``.anno``/``.data``).
+
+    Carries ``bed2mask --data-comments`` id lists as ``DazzExtra``
+    records named ``contigs`` / ``reads`` with the reference's exact
+    encoding (``bed2mask.d:316-331``: contig ids flat, read ids
+    length-prefixed per interval), so ``validate-regions`` of the
+    reference toolchain can consume the track.
+    """
+    import numpy as np
+
+    from .io.dazzler import write_dazz_extra, write_mask
+    from .io.store import load_mask
+
+    store, _ = _load_assembly(args.assembly)
+    mask, extras = load_mask(args.mask, with_extras=True)
+    write_mask(args.out_anno, args.out_data, mask, num_reads=len(store.lengths))
+    if extras.get("contig_ids") is not None:
+        flat = ([np.asarray(x, dtype=np.int64) for x in extras["contig_ids"]]
+                or [np.empty(0, np.int64)])
+        write_dazz_extra(args.out_anno, "contigs", np.concatenate(flat))
+    if extras.get("read_ids") is not None:
+        rows = [np.concatenate([[len(x)], np.asarray(x, dtype=np.int64)])
+                for x in extras["read_ids"]] or [np.empty(0, np.int64)]
+        write_dazz_extra(args.out_anno, "reads", np.concatenate(rows))
+    log_json("info", event="exportMask", intervals=len(mask.iv),
+             extras=sorted(extras))
+
+
+@command("import-mask")
+def cmd_import_mask(args):
+    """Read a Dazzler track (``.anno``/``.data``) into the mask container.
+
+    Recovers ``contigs``/``reads`` ``DazzExtra`` records (if present)
+    into per-interval id lists, inverting the reference encoding.
+    """
+    from .io.dazzler import read_dazz_extra, read_mask
+    from .io.store import save_mask
+
+    mask = read_mask(args.anno, args.data)
+    extras = {}
+    contigs = read_dazz_extra(args.anno, "contigs")
+    if contigs is not None:
+        extras["contig_ids"] = [contigs[i : i + 2] for i in
+                                range(0, len(contigs), 2)]
+    reads = read_dazz_extra(args.anno, "reads")
+    if reads is not None:
+        lists, i = [], 0
+        while i < len(reads):
+            n = int(reads[i])
+            lists.append(reads[i + 1 : i + 1 + n])
+            i += 1 + n
+        extras["read_ids"] = lists
+    for name, lists in list(extras.items()):
+        if len(lists) != len(mask.iv):
+            log_json("warn", event="importMask",
+                     info=f"extra {name} misaligned with intervals; dropped")
+            del extras[name]
+    save_mask(args.out_mask, mask, extras=extras or None)
+    log_json("info", event="importMask", intervals=len(mask.iv),
+             extras=sorted(extras))
 
 
 @command("intrinsic-qv")
@@ -936,6 +1017,8 @@ def build_parser() -> argparse.ArgumentParser:
         A("--weak-coverage-mask"))
     add("export-las", A("alignments"), A("out_las"))
     add("import-las", A("las"), A("out_alignments"))
+    add("export-mask", A("assembly"), A("mask"), A("out_anno"), A("out_data"))
+    add("import-mask", A("anno"), A("data"), A("out_mask"))
     add("intrinsic-qv", A("alignments"), A("reads"), A("--out", default=None),
         A("--json", "-j", action="store_true"))
     add("lost-gaps", A("logs", nargs="+",

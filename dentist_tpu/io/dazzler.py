@@ -28,7 +28,8 @@ import numpy as np
 from ..models.alignments import LocalAlignmentSet, TRACE_SPACING
 from ..utils.regions import Region
 
-__all__ = ["read_las", "write_las", "read_mask", "write_mask", "LAS_FLAGS"]
+__all__ = ["read_las", "write_las", "read_mask", "write_mask",
+           "read_dazz_extra", "write_dazz_extra", "LAS_FLAGS"]
 
 LAS_FLAGS = {
     "complement": 0x1,
@@ -169,6 +170,49 @@ def write_mask(anno_path, data_path, region: Region, num_reads: int):
     with open(data_path, "wb") as fh:
         for chunk in chunks:
             fh.write(chunk)
+
+
+def write_dazz_extra(anno_path, name: str, data, accum_mode: int = 0):
+    """Append a ``DazzExtra`` record to a mask ``.anno`` file.
+
+    Layout (``dazzler.d:5327-5345`` ``writeDazzExtra``): ``int32[4]``
+    header ``[vtype, dataLength, accumMode, nameLength]`` followed by the
+    raw name bytes and ``dataLength`` 8-byte elements (``int64`` for
+    vtype 0, ``float64`` for vtype 1).  Extras are appended after the
+    mask header + pointer table, any number per track.  ``accum_mode``:
+    0 = exact-match across blocks, 1 = vector sum (``dazzler.d:5176``).
+    """
+    arr = np.asarray(data)
+    if arr.dtype.kind == "f":
+        arr, vtype = arr.astype("<f8"), 1
+    else:
+        arr, vtype = arr.astype("<i8"), 0
+    name_b = name.encode()
+    with open(anno_path, "ab") as fh:
+        fh.write(struct.pack("<iiii", vtype, len(arr), accum_mode, len(name_b)))
+        fh.write(name_b)
+        fh.write(arr.tobytes())
+
+
+def read_dazz_extra(anno_path, name: str):
+    """Read the ``DazzExtra`` called ``name``; ``None`` if absent.
+
+    Mirrors ``readDazzExtra`` (``dazzler.d:5243-5310``): skip the mask
+    header (``int32 numReads, size`` + ``numReads+1`` ``int64``
+    pointers), then scan extra records until the name matches.
+    """
+    with open(anno_path, "rb") as fh:
+        num_reads, _size = struct.unpack("<ii", fh.read(8))
+        fh.seek(8 * (num_reads + 1), 1)
+        while True:
+            head = fh.read(16)
+            if len(head) < 16:
+                return None
+            vtype, dlen, _accum, namelen = struct.unpack("<iiii", head)
+            cur = fh.read(namelen).decode()
+            raw = fh.read(8 * dlen)
+            if cur == name:
+                return np.frombuffer(raw, dtype="<f8" if vtype == 1 else "<i8")
 
 
 def read_mask(anno_path, data_path) -> Region:

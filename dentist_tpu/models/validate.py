@@ -49,6 +49,9 @@ class RegionReport:
     weak_windows: list[tuple[int, int]]
     #: ids of the two input contigs flanking the formerly open gap
     contig_ids: tuple[int, int] | None = None
+    #: ids of the reads whose consensus filled the gap (attached to the
+    #: report as in the reference, ``validateRegions.d:376``)
+    read_ids: tuple[int, ...] | None = None
 
     def to_json(self) -> dict:
         return {
@@ -59,6 +62,8 @@ class RegionReport:
             "numSpanningReads": self.n_spanning,
             "weakWindows": self.weak_windows,
             "contigIds": list(self.contig_ids) if self.contig_ids else None,
+            "consensusReadIds": (list(self.read_ids)
+                                 if self.read_ids else None),
         }
 
 
@@ -70,6 +75,7 @@ def validate_regions(
     read_lengths: np.ndarray,
     cfg: ValidateConfig,
     region_contig_ids: dict[tuple[int, int, int], tuple[int, int]] | None = None,
+    region_read_ids: dict[tuple[int, int, int], tuple[int, ...]] | None = None,
 ) -> tuple[list[RegionReport], Region]:
     """Validate `regions` (tag = preliminary contig id, begin/end).
 
@@ -131,7 +137,11 @@ def validate_regions(
         cids = None
         if region_contig_ids:
             cids = region_contig_ids.get((tag, begin, end))
-        reports.append(RegionReport(tag, begin, end, is_valid, n_span, weak, cids))
+        rids = None
+        if region_read_ids:
+            rids = region_read_ids.get((tag, begin, end))
+        reports.append(RegionReport(tag, begin, end, is_valid, n_span, weak,
+                                    cids, rids))
         weak_triples.extend((tag, b, e) for b, e in weak)
     weak_mask = Region.from_triples(weak_triples) if weak_triples else Region()
     log_json("info", event="validateRegions", numRegions=len(reports),

@@ -477,6 +477,10 @@ def _collect_chunk(lanes, chunk, TB, handle, outs, only_if_better=False,
                    fetched=None):
     """Fetch a dispatched chunk's packed block and unpack per lane."""
     packed = np.asarray(handle) if fetched is None else fetched
+    # device results can come back with a non-row-major layout (XLA picks
+    # the on-device layout; the tunnel preserves it), which breaks the
+    # uint8 reinterpretation below — force C order (no-op when already so)
+    packed = np.ascontiguousarray(packed)
     NWIN = max(TB_nwin(TB), 1)
     N_r = packed.shape[0]
     n8 = (5 * TB + 4) // 4
