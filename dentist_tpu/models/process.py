@@ -25,6 +25,7 @@ reference's per-pile-up error containment
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -457,7 +458,11 @@ def process_pile_ups(
                 template_idxs=[tmpl_idx[k] for k in pending],
             )
         except Exception as exc:
-            # containment fallback: batch failed — run pile-ups one by one
+            # containment fallback: batch failed — run pile-ups one by one.
+            # The fallback hides order-of-magnitude perf cliffs, so strict
+            # mode (tests) re-raises instead.
+            if os.environ.get("DENTIST_TPU_STRICT"):
+                raise
             log_json("warn", event="consensusBatchFailed", error=str(exc))
             conss = []
             for k in pending:

@@ -693,7 +693,30 @@ def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
 
 
 _V_CHUNK = 512
+_V_MAX = 8192
 _N_BUCKETS = [8, 16, 32, 64, 128]
+
+
+@functools.partial(jax.jit, static_argnames=("TW", "TWp", "RW", "NB"))
+def _nw_dist_full_packed(chars_pack, meta, TW: int, TWp: int, RW: int,
+                         NB: int):
+    """:func:`_nw_dist_full` fed from ONE 2-bit transfer + one meta array.
+
+    ``chars_pack`` (V, (TWp + NB·RW)/4) uint8 = per variant [template
+    window (TWp cols, padded) | NB read windows (RW cols each)] 2-bit
+    packed; ``meta`` (V + V·NB,) int32 = [t_len | rwin_len].  Separate
+    tpl/rwin/t_len/rwin_len transfers paid 4 device-tunnel RPCs per
+    chunk — the dominant cost of the polish scoring stage.
+    """
+    from .banded import _unpack2bit
+
+    V = meta.shape[0] // (1 + NB)
+    buf = _unpack2bit(chars_pack)  # (V, TWp + NB*RW)
+    tpl = buf[:, :TW]
+    rwin = buf[:, TWp:].reshape(V, NB, RW)
+    t_len = meta[:V]
+    rwin_len = meta[V:].reshape(V, NB)
+    return _nw_dist_full(tpl, t_len, rwin, rwin_len, T=TW, global_ends=True)
 
 
 def _n_bucket(n: int) -> int:
@@ -715,23 +738,31 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
     (anchored ends — free ends would let deletions hide in unpenalized
     gaps).  Gain = Σ(base − edit).
     """
+    from .banded import _pack2bit
+
     TW = 2 * HALF + 2
-    RW = 2 * HALF + 4 * W_score
+    # read-window capacity: segments span ~TW·(1+err) chars (measured
+    # p99 = 38 at 13 % error for TW=34); W_score slack absorbs the tail,
+    # and longer segments are skipped (cov_ok stays False) — they imply
+    # a local blow-up the ±1-edit score can't judge anyway
+    RW = 2 * HALF + W_score
+    TWp = -(-TW // 4) * 4
     gains = np.zeros(len(cands), dtype=np.int64)
-    half_v = _V_CHUNK // 2
     NB = _n_bucket(max((c[4].shape[0] for c in cands), default=1))
 
-    # dispatch every chunk before collecting any result: the per-call
-    # round trip dominated this stage (thousands of tiny scoring calls)
+    # one packed dispatch per power-of-2 candidate bucket (chunked only
+    # beyond _V_MAX/2 candidates): the previous 512-variant chunks each
+    # paid ~5 device-tunnel RPCs, dominating the polish stage
     inflight = []
-    for c0 in range(0, len(cands), half_v):
-        chunk = cands[c0 : c0 + half_v]
-        V = _V_CHUNK
-        tpl = np.zeros((V, TW), dtype=np.uint8)
+    for c0 in range(0, len(cands), _V_MAX // 2):
+        chunk = cands[c0 : c0 + _V_MAX // 2]
+        half_v = max(64, 1 << (len(chunk) - 1).bit_length())
+        V = 2 * half_v
+        buf = np.zeros((V, TWp + NB * RW), dtype=np.uint8)
         t_len = np.zeros(V, dtype=np.int32)
-        rwin = np.zeros((V, NB, RW), dtype=np.uint8)
         rwin_len = np.zeros((V, NB), dtype=np.int32)
         cov_ok = np.zeros((V, NB), dtype=bool)
+        rwin_flat = np.zeros((V, NB, RW), dtype=np.uint8)
         for k, (template, pos, kind, base, reads_arr, jpath) in enumerate(chunk):
             T = len(template)
             lo = max(0, pos - HALF)
@@ -741,30 +772,32 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
                 ewin = np.delete(win, pos - lo)
             else:
                 ewin = np.insert(win, pos - lo, base)
-            tpl[k, : len(win)] = win
+            buf[k, : len(win)] = win
             t_len[k] = len(win)
-            tpl[k + half_v, : len(ewin)] = ewin
+            buf[k + half_v, : len(ewin)] = ewin
             t_len[k + half_v] = len(ewin)
             for n in range(min(reads_arr.shape[0], NB)):
                 jlo, jhi = int(jpath[n, lo]), int(jpath[n, hi])
                 if jlo < 0 or jhi < 0 or jhi <= jlo or jhi - jlo > RW:
                     continue
                 seg = reads_arr[n, jlo:jhi]
-                rwin[k, n, : len(seg)] = seg
+                rwin_flat[k, n, : len(seg)] = seg
                 rwin_len[k, n] = len(seg)
                 cov_ok[k, n] = True
-        rwin[half_v : half_v + len(chunk)] = rwin[: len(chunk)]
+        rwin_flat[half_v : half_v + len(chunk), :, :] = rwin_flat[: len(chunk)]
         rwin_len[half_v : half_v + len(chunk)] = rwin_len[: len(chunk)]
-        out = _nw_dist_full(
-            jnp.asarray(tpl), jnp.asarray(t_len), jnp.asarray(rwin),
-            jnp.asarray(rwin_len), T=TW, global_ends=True,
+        buf[:, TWp:] = rwin_flat.reshape(V, NB * RW)
+        meta = np.concatenate([t_len, rwin_len.reshape(-1)])
+        out = _nw_dist_full_packed(
+            jnp.asarray(_pack2bit(buf)), jnp.asarray(meta),
+            TW=TW, TWp=TWp, RW=RW, NB=NB,
         )
-        inflight.append((c0, len(chunk), cov_ok, out))
+        inflight.append((c0, len(chunk), half_v, cov_ok, out))
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
-    for (c0, n_chunk, cov_ok, out), d in zip(inflight, fetched):
+        fetched = list(ex.map(lambda t: np.asarray(t[4]), inflight))
+    for (c0, n_chunk, half_v, cov_ok, out), d in zip(inflight, fetched):
         db = d[:n_chunk]
         de = d[half_v : half_v + n_chunk]
         ok = cov_ok[:n_chunk] & (db < _INF) & (de < _INF)
@@ -772,10 +805,24 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
     return gains
 
 
-def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08):
-    """Candidate single-base edits: (pos, kind, base); kind 0=del, 1=ins."""
+def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08,
+                           floor_high=3):
+    """Candidate single-base edits: (pos, kind, base); kind 0=del, 1=ins.
+
+    The vote floor matters for cost, not just noise: at 13 % error and
+    20× coverage a 2-vote floor qualifies ~every column (P[≥2 noise
+    votes] ≈ 0.26), making the polish scorer scan the whole template
+    every round.  ``floor_high`` applies at ≥12× coverage: 3 for the
+    fast early rounds, lowered to 2 by the polish loop's final
+    refinement pass — real edits occasionally sit at 2 votes even at
+    20× (error-masked in most reads), so the 2-vote fixpoint decides
+    byte-exactness.  Below 12× the floor is always 2 (real edits can be
+    thin there and noise floods are no concern: P[≥2] ≈ 0.06 at 8×).
+    """
     T = col_votes.shape[0]
-    min_votes = np.maximum((min_votes_frac * np.maximum(cov, 1)).astype(int), 2)
+    floor = np.where(cov >= 12, floor_high, 2)
+    min_votes = np.maximum((min_votes_frac * np.maximum(cov, 1)).astype(int),
+                           floor)
     candidates: list[tuple[int, int, int]] = []
     for i in np.flatnonzero(col_votes[:, 4] >= min_votes):
         candidates.append((int(i), 0, 0))
@@ -801,7 +848,12 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
     HALF = 16
     active = [p for p in range(len(states))
               if len(read_sets[p]) > 1 and len(states[p]["template"])]
-    for _ in range(max_rounds):
+    # two-phase floors: rounds run with the cheap 3-vote candidate floor
+    # until a pile-up converges, then ONE final refinement pass at floor
+    # 2 catches the rare thin-support true edits (byte-exactness) without
+    # paying the floor-2 noise flood every round
+    floors = {p: 3 for p in active}
+    for _ in range(max_rounds + 1):
         if not active:
             break
         jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
@@ -816,14 +868,14 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
             states[p]["jpath"] = outs[ai].jpath
             states[p]["last_out"] = outs[ai]
             reads_arr = states[p]["reads_arr"]
-            cands = _candidates_from_votes(col_votes, ins_votes, cov)
+            cands = _candidates_from_votes(col_votes, ins_votes, cov,
+                                           floor_high=floors[p])
             for c in cands:
                 all_cands.append((ai, c))
                 ctx.append((states[p]["template"], c[0], c[1], c[2],
                             reads_arr, outs[ai].jpath))
-        if not all_cands:
-            break
-        gains = _window_gains_multi(ctx, HALF=HALF)
+        gains = (_window_gains_multi(ctx, HALF=HALF) if all_cands
+                 else np.zeros(0, dtype=np.int64))
 
         still = []
         for ai, p in enumerate(active):
@@ -839,6 +891,9 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
                     chosen.append((pos, kind, base))
                     taken_pos.append(pos)
             if not chosen:
+                if floors[p] > 2:  # converged at floor 3: one pass at 2
+                    floors[p] = 2
+                    still.append(p)
                 continue
             template = states[p]["template"]
             for pos, kind, base in sorted(chosen, reverse=True):

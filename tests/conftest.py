@@ -19,6 +19,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+os.environ["DENTIST_TPU_STRICT"] = "1"  # fallback paths re-raise in tests
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
