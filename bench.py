@@ -102,10 +102,16 @@ def main():
     repeat_mask = coverage_mask(pack_chain_intervals(las), l, 0, 3 * int(coverage))
     pile_ups = collect_pile_ups(ctx, structure.gaps, repeat_mask, CollectConfig(),
                                 contigs=contigs, reads=reads_store)
-    t0 = time.time()
-    insertions = process_pile_ups(pile_ups, ctx, contigs, reads_store,
-                                  repeat_mask, ProcessConfig())
-    process_s = time.time() - t0
+    # best-of-2 like phase A: trial 0 may pay compiles/cache loads for
+    # consensus dispatch shapes the warmup pass does not reach
+    process_s = float("inf")
+    for _trial in range(2):
+        t0 = time.time()
+        insertions = process_pile_ups(pile_ups, ctx, contigs, reads_store,
+                                      repeat_mask, ProcessConfig())
+        trial_s = time.time() - t0
+        print(f"  process trial: {trial_s:.1f}s", file=sys.stderr)
+        process_s = min(process_s, trial_s)
     pileups_per_s = len(pile_ups) / max(process_s, 1e-9)
     print(
         f"consensus on {len(pile_ups)} pile-ups in {process_s:.1f}s: "
