@@ -770,8 +770,11 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
             win = template[lo:hi]
             if kind == 0:
                 ewin = np.delete(win, pos - lo)
-            else:
+            elif kind == 1:
                 ewin = np.insert(win, pos - lo, base)
+            else:  # substitution
+                ewin = win.copy()
+                ewin[pos - lo] = base
             buf[k, : len(win)] = win
             t_len[k] = len(win)
             buf[k + half_v, : len(ewin)] = ewin
@@ -806,8 +809,9 @@ def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
 
 
 def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08,
-                           floor_high=3):
-    """Candidate single-base edits: (pos, kind, base); kind 0=del, 1=ins.
+                           floor_high=3, template=None):
+    """Candidate single-base edits: (pos, kind, base); kind 0=del, 1=ins,
+    2=substitution.
 
     The vote floor matters for cost, not just noise: at 13 % error and
     20× coverage a 2-vote floor qualifies ~every column (P[≥2 noise
@@ -831,6 +835,22 @@ def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08,
     for i, r, b in zip(ins_pos, ins_rank, ins_base):
         if r == 0:
             candidates.append((int(i), 1, int(b)))
+    if template is not None and T:
+        # substitution candidates: a non-template base whose column vote
+        # is a strong runner-up.  Per-column majority already picked the
+        # argmax, but reads with indels near the column scatter their
+        # votes across neighbors — the exact window objective re-aligns
+        # each read locally and can overturn a misvoted column (the
+        # residual-error class votes alone never fix)
+        cur = template[:T].astype(np.int64)
+        v = col_votes[:, :4].copy()
+        cur_votes = v[np.arange(T), cur]
+        v[np.arange(T), cur] = -1
+        alt = v.argmax(axis=1)
+        alt_votes = v[np.arange(T), alt]
+        sel = (alt_votes >= min_votes) & (2 * alt_votes >= cur_votes)
+        for i in np.flatnonzero(sel):
+            candidates.append((int(i), 2, int(alt[i])))
     return candidates
 
 
@@ -869,7 +889,8 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
             states[p]["last_out"] = outs[ai]
             reads_arr = states[p]["reads_arr"]
             cands = _candidates_from_votes(col_votes, ins_votes, cov,
-                                           floor_high=floors[p])
+                                           floor_high=floors[p],
+                                           template=states[p]["template"])
             for c in cands:
                 all_cands.append((ai, c))
                 ctx.append((states[p]["template"], c[0], c[1], c[2],
@@ -885,7 +906,14 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
             chosen = []
             taken_pos: list[int] = []
             for g, (pos, kind, base) in mine:
-                if g <= 0:
+                # Deletions are accepted at cost TIES (g == 0): long-read
+                # error mixes are insertion-biased (CLR ≈ 55% ins / 25%
+                # del — the simulator reproduces this), so when the exact
+                # objective cannot decide between "extra base is real"
+                # and "extra base is k coinciding read insertions", the
+                # shorter template is the likelier explanation.  daccord
+                # reaches the same tilt through its error profile.
+                if g < 0 or (g == 0 and kind != 0):
                     continue
                 if all(abs(pos - q) > 2 * HALF for q in taken_pos):
                     chosen.append((pos, kind, base))
@@ -899,8 +927,11 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
             for pos, kind, base in sorted(chosen, reverse=True):
                 if kind == 0:
                     template = np.delete(template, pos)
-                else:
+                elif kind == 1:
                     template = np.insert(template, pos, base)
+                else:  # substitution
+                    template = template.copy()
+                    template[pos] = base
             states[p]["template"] = template
             states[p]["stats_stale"] = True
             still.append(p)

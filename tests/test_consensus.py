@@ -86,6 +86,24 @@ def test_consensus_exact_across_seeds():
         assert_matches_interior(truth, res.sequence)
 
 
+def test_consensus_exact_moderate_coverage():
+    """14x/13% error interior-exact: needs substitution polish and the
+    insertion-biased deletion tie-break (column majority alone leaves
+    1-2 residual errors per 1.5 kb at this coverage)."""
+    for seed in (1000 + 0 * 7 + 14 * 131 + 600,   # ex-sub error @270
+                 1000 + 7 * 7 + 14 * 131 + 600,   # ex-sub error @578
+                 1000 + 5 * 7 + 14 * 131 + 1500,  # ex-sub error @421
+                 1000 + 11 * 7 + 14 * 131 + 1500):  # ex-spurious-ins @239
+        length = 600 if seed < 1000 + 14 * 131 + 1000 else 1500
+        truth = random_genome(length, seed=seed)
+        rng = np.random.default_rng(seed)
+        reads = [_mutate(truth, rng, 0.13) for _ in range(14)]
+        res = consensus(reads)
+        ops = edit_ops(truth, res.sequence)
+        interior = [p for p in ops if 3 <= p < length - 3]
+        assert interior == [], f"seed {seed}: interior errors at {interior}"
+
+
 def test_consensus_variable_read_ends():
     # extension-like pile-up: reads start at 0 but end at different points
     truth = random_genome(1500, seed=6)
