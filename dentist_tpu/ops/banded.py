@@ -222,10 +222,27 @@ def bw_for(R: int, W: int) -> int:
 
 def _pack2bit(a: np.ndarray) -> np.ndarray:
     """(N, X) 2-bit codes → (N, X//4) bytes, first base in the high bits
-    (the Dazzler ``Compress_Read`` byte order; X must be a multiple of 4)."""
-    q = a.reshape(a.shape[0], -1, 4).astype(np.uint16)
-    return ((q[:, :, 0] << 6) | (q[:, :, 1] << 4) | (q[:, :, 2] << 2)
-            | q[:, :, 3]).astype(np.uint8)
+    (the Dazzler ``Compress_Read`` byte order; X must be a multiple of 4).
+
+    Uses the native word-wise packer when available (~8× the numpy path;
+    host packing was 20 % of the consensus stage's host profile)."""
+    from ..native import _load as _native_load
+
+    lib = _native_load()
+    if lib is not None:
+        flat = np.ascontiguousarray(a, dtype=np.uint8).reshape(-1)
+        out = np.empty(flat.size // 4, dtype=np.uint8)
+        import ctypes
+
+        lib.dentist_pack_2bit(flat.ctypes.data_as(ctypes.c_char_p), flat.size,
+                              out.ctypes.data_as(ctypes.c_char_p))
+        return out.reshape(a.shape[0], -1)
+    q = np.ascontiguousarray(a, dtype=np.uint8).reshape(a.shape[0], -1, 4)
+    out = q[:, :, 0] << 6
+    out |= q[:, :, 1] << 4
+    out |= q[:, :, 2] << 2
+    out |= q[:, :, 3]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("R", "N", "K", "W", "bound_diag"))

@@ -159,9 +159,19 @@ void dentist_sa_free(void* handle) { delete static_cast<Index*>(handle); }
 // diff cleanly against reference-produced .bps files.
 void dentist_pack_2bit(const uint8_t* codes, int64_t n, uint8_t* out) {
   int64_t nb = (n + 3) / 4;
-  std::memset(out, 0, nb);
-  for (int64_t i = 0; i < n; ++i)
-    out[i >> 2] |= (codes[i] & 0x3) << ((3 - (i & 0x3)) << 1);
+  int64_t full = n / 4;
+  // word-wise: 4 codes per 32-bit load (little-endian); auto-vectorizes
+  for (int64_t b = 0; b < full; ++b) {
+    uint32_t x;
+    std::memcpy(&x, codes + 4 * b, 4);
+    out[b] = (uint8_t)(((x & 3u) << 6) | (((x >> 8) & 3u) << 4) |
+                       (((x >> 16) & 3u) << 2) | ((x >> 24) & 3u));
+  }
+  if (full < nb) {
+    out[full] = 0;
+    for (int64_t i = 4 * full; i < n; ++i)
+      out[i >> 2] |= (codes[i] & 0x3) << ((3 - (i & 0x3)) << 1);
+  }
 }
 
 void dentist_unpack_2bit(const uint8_t* packed, int64_t n, uint8_t* out) {
