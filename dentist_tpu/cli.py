@@ -195,12 +195,21 @@ def _improper_intervals(las, chains, contig_lengths, read_lengths):
 @command("propagate-mask")
 def cmd_propagate_mask(args):
     from .io.store import load_alignments, load_mask, save_mask
-    from .models.mask import propagate_mask
+    from .models.mask import propagate_mask, propagate_mask_b_to_a
 
     mask = load_mask(args.mask)
     las, _ = load_alignments(args.alignments)
     reads = _load_reads(args.reads)
-    out = propagate_mask(mask, las, reads.lengths)
+    if getattr(args, "direction", "assembly2reads") == "reads2assembly":
+        # the homogenization return leg (``Snakefile:1218-1287``): the
+        # mask is tagged by read ids, the output by assembly contig ids
+        if not getattr(args, "assembly", None):
+            raise SystemExit("--assembly is required with "
+                             "--direction reads2assembly")
+        contigs, _ = _load_assembly(args.assembly)
+        out = propagate_mask_b_to_a(mask, las, contigs.lengths, reads.lengths)
+    else:
+        out = propagate_mask(mask, las, reads.lengths)
     save_mask(args.out_mask, out)
 
 
@@ -331,11 +340,39 @@ def cmd_mask2bed(args):
 
 @command("chain-local-alignments")
 def cmd_chain(args):
+    import sys
+    import time
+
     from .io.store import load_alignments, save_alignments
     from .ops.chain import ChainingOptions, chain_local_alignments
 
     las, _ = load_alignments(args.alignments)
-    chains, las = chain_local_alignments(las, ChainingOptions())
+    progress = None
+    if getattr(args, "progress", False):
+        # live progress reporting (the reference's --progress family,
+        # docs/list-of-commandline-options.md:171-178): human = a
+        # carriage-return percent meter, json = one line per tick
+        every_s = max(getattr(args, "progress_every", 500), 1) / 1000.0
+        fmt = getattr(args, "progress_format", "human")
+        state = {"last": 0.0, "t0": time.monotonic()}
+
+        def progress(done, total):
+            now = time.monotonic()
+            if now - state["last"] < every_s and done < total:
+                return
+            state["last"] = now
+            if fmt == "json":
+                log_json("info", event="progress", step=int(done),
+                         total=int(total),
+                         elapsedSecs=round(now - state["t0"], 3))
+            else:
+                pct = 100.0 * done / max(total, 1)
+                end = "\n" if done >= total else "\r"
+                print(f"chaining: {done}/{total} ({pct:5.1f}%)",
+                      end=end, file=sys.stderr, flush=True)
+
+    chains, las = chain_local_alignments(las, ChainingOptions(),
+                                         progress=progress)
     save_alignments(args.out_alignments, las, chains)
     log_json("info", event="chain", numChains=len(chains))
 
@@ -970,7 +1007,13 @@ def build_parser() -> argparse.ArgumentParser:
     add("mask-repetitive-regions", A("assembly"), A("alignments"), A("out_mask"),
         A("--reads-db"), A("--read-coverage", type=float),
         A("--max-coverage-reads", type=int), A("--max-coverage-self", type=int, default=4))
-    add("propagate-mask", A("mask"), A("alignments"), A("reads"), A("out_mask"))
+    add("propagate-mask", A("mask"), A("alignments"), A("reads"), A("out_mask"),
+        A("--direction", choices=["assembly2reads", "reads2assembly"],
+          default="assembly2reads",
+          help="which way to transfer intervals through the alignments "
+               "(reads2assembly is the homogenization return leg)"),
+        A("--assembly", help="assembly FASTA/store (required with "
+                             "--direction reads2assembly)"))
     add("merge-masks", A("out_mask"), A("masks", nargs="+"))
     add("filter-mask", A("mask"), A("out_mask"),
         A("--min-interval-size", type=int, default=0),
@@ -979,7 +1022,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("bed2mask", A("assembly"), A("bed"), A("out_mask"),
         A("--data-comments", action="store_true"))
     add("mask2bed", A("assembly"), A("mask"), A("out_bed"))
-    add("chain-local-alignments", A("alignments"), A("out_alignments"))
+    add("chain-local-alignments", A("alignments"), A("out_alignments"),
+        A("--progress", action="store_true",
+          help="report progress while chaining"),
+        A("--progress-every", type=int, default=500, metavar="MSECS",
+          help="progress report interval (default: 500 ms)"),
+        A("--progress-format", choices=["human", "json"], default="human"))
     add("collect-pile-ups", A("assembly"), A("reads"), A("alignments"), A("out_pile_ups"),
         A("--mask", nargs="*"), A("--min-anchor-length", type=int, default=500),
         A("--best-pile-up-margin", type=float, default=3.0),

@@ -414,14 +414,19 @@ def process_pile_ups(
     repeats: Region,
     cfg: ProcessConfig | None = None,
     batch: tuple[int, int] | None = None,
+    mesh=None,
 ) -> list[Insertion]:
     """Process pile-ups (optionally a ``--batch from..to`` slice).
 
     Consensus runs BATCHED across pile-ups — one set of bucketed device
     dispatches per realign round serves every pile-up (the reference
     thread-parallelizes pile-ups, ``processPileUps/package.d:146-159``).
-    On splice failure a pile-up's consensus is retried with the next
-    QV-ranked reference-read candidate as the template
+    With ``mesh`` (>1 device) consensus lanes shard data-parallel over
+    the mesh's ``dp`` axis with allgathered results — the mesh
+    equivalent of the reference's ``--batch`` cluster slices +
+    ``merge-insertions`` (``snakemake/Snakefile:1315-1358``).  On splice
+    failure a pile-up's consensus is retried with the next QV-ranked
+    reference-read candidate as the template
     (``findReferenceReadCandidates`` + retry, ``package.d:518-619``);
     per-pile-up failures are contained with logged reasons.
     """
@@ -455,7 +460,7 @@ def process_pile_ups(
             conss = consensus_batch(
                 [prepared[k].cropped for k in pending],
                 rounds=cfg.consensus_rounds, W=cfg.band_width,
-                template_idxs=[tmpl_idx[k] for k in pending],
+                template_idxs=[tmpl_idx[k] for k in pending], mesh=mesh,
             )
         except Exception as exc:
             # containment fallback: batch failed — run pile-ups one by one.

@@ -93,12 +93,16 @@ def _group_slices(keys: np.ndarray):
 
 
 def chain_local_alignments(
-    las: LocalAlignmentSet, options: ChainingOptions | None = None
+    las: LocalAlignmentSet, options: ChainingOptions | None = None,
+    progress=None,
 ) -> tuple[list[Chain], LocalAlignmentSet]:
     """Chain a (sorted) LocalAlignmentSet.  Returns (chains, las).
 
     The returned ``las`` is the input re-sorted canonically; chain indices
-    refer to it.
+    refer to it.  ``progress(done, total)``, if given, is called after
+    each (A, B) group with the number of local alignments processed —
+    the reference's ``chain-local-alignments --progress`` hook
+    (``docs/list-of-commandline-options.md:171-178``).
     """
     opts = options or ChainingOptions()
     las = las.sort()
@@ -107,9 +111,12 @@ def chain_local_alignments(
         return chains, las
 
     keys = np.stack([las.a_id, las.b_id], axis=1)
+    total = len(las)
     for grp in _group_slices(keys):
         idx = np.arange(grp.start, grp.stop)
         chains.extend(_chain_group(las, idx, opts))
+        if progress is not None:
+            progress(grp.stop, total)
     return chains, las
 
 

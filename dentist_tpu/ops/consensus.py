@@ -31,6 +31,7 @@ alignments with intrinsic QVs and an error profile; the equivalent here:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -49,6 +50,13 @@ _DIAG, _UP, _LEFT, _NONE = 0, 1, 2, 3
 _T_BUCKETS = [512, 1024, 2048, 4096, 8192, 16384, 32768]
 #: device-memory budget for the (T, N, W) move tensor per dispatch
 _MOVE_BUDGET = 1 << 28
+#: lane-count ladder (factor 4, all multiples of the mesh size): a
+#: 16-pile-up run measured FIFTEEN distinct (T, RL, N) compiled programs
+#: before (each a compile/cache-load over the device tunnel) — the RL
+#: axis is folded into T (reads dispatch at RL = 2·T always, see
+#: :func:`_rl_bucket`) and lane counts quantize to this ladder, so a run
+#: touches ~2 shapes per T bucket and retries reuse them
+_N_LADDER = [32, 128, 512, 2048, 8192]
 
 
 def _t_bucket(t: int) -> int:
@@ -58,11 +66,30 @@ def _t_bucket(t: int) -> int:
     return _T_BUCKETS[-1]
 
 
-def _rl_bucket(rl: int) -> int:
-    b = 256
-    while b < rl:
-        b *= 2
-    return b
+def _rl_bucket(rl: int, tb: int) -> int:
+    """Read-length bucket: always 2·T (one compiled shape per T bucket).
+
+    Reads longer than 2·T cannot produce acceptable lanes anyway — the
+    free-shift DP must consume the whole read, costing ≥ RL − T edits —
+    so such reads are dispatched on their 2·T prefix (gap pile-ups bound
+    one-anchored reads well below this; extension templates never grow
+    past ~the median read length)."""
+    return 2 * tb
+
+
+def _n_max(tb: int, W: int) -> int:
+    """Main-chunk lane count for a T bucket (move-tensor budget)."""
+    return max(_N_LADDER[0],
+               1 << ((_MOVE_BUDGET // (tb * W)).bit_length() - 1))
+
+
+def _n_bucket_lanes(n: int, tb: int, W: int) -> int:
+    """Pad a chunk's lane count to the ladder (capped at the move budget)."""
+    cap = _n_max(tb, W)
+    for b in _N_LADDER:
+        if n <= b <= cap:
+            return b
+    return cap
 
 
 # ======================================================================
@@ -70,9 +97,11 @@ def _rl_bucket(rl: int) -> int:
 # ======================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("T", "W", "S", "NWIN"))
+@functools.partial(jax.jit, static_argnames=("T", "W", "S", "NWIN",
+                                             "lead_free"))
 def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
-                     T: int, W: int, S: int, NWIN: int):
+                     T: int, W: int, S: int, NWIN: int,
+                     lead_free: int = -1):
     """One realign round for N independent (template, read) lanes.
 
     tpl: (T, N) uint8 — per-lane template char stream (lanes of one
@@ -109,7 +138,14 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
 
     off0 = off_from(centers[0])
     j0g = off0[:, None] + p[None, :]
-    D0 = jnp.where((j0g >= 0) & (j0g <= read_lens[:, None]), 0, _INF).astype(jnp.int32)
+    # lead_free < 0: fully free leading read prefix (pile-up geometry —
+    # reads may start anywhere).  lead_free ≥ 0: only that many leading
+    # chars skip free, the rest cost 1 each — REQUIRED for short windowed
+    # segments, where a fully free prefix lets the DP skip the whole
+    # segment and "consume" it in one row (degenerate cost ≈ 0)
+    d_init = 0 if lead_free < 0 else jnp.maximum(j0g - lead_free, 0)
+    D0 = jnp.where((j0g >= 0) & (j0g <= read_lens[:, None]), d_init,
+                   _INF).astype(jnp.int32)
 
     # Chunked scan: centers are step-clamped (≤2/row, `_clamp_steps`), so
     # band moves are 3-way static-shift selects and the (N, W + 2C) read
@@ -268,9 +304,10 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
     return jnp.concatenate([blk8_words, blk32], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "RL", "W", "S", "NWIN"))
+@functools.partial(jax.jit, static_argnames=("T", "RL", "W", "S", "NWIN",
+                                             "lead_free"))
 def _nw_round_packed(chars_pack, meta, T: int, RL: int, W: int, S: int,
-                     NWIN: int):
+                     NWIN: int, lead_free: int = -1):
     """:func:`_nw_round_kernel` fed from TWO transfers instead of five.
 
     ``chars_pack`` (N, T/4 + RL/4 + T/4) uint8 = [template 2-bit packed |
@@ -292,7 +329,7 @@ def _nw_round_packed(chars_pack, meta, T: int, RL: int, W: int, S: int,
     centers = jnp.concatenate(
         [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
     return _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
-                            T=T, W=W, S=S, NWIN=NWIN)
+                            T=T, W=W, S=S, NWIN=NWIN, lead_free=lead_free)
 
 
 # ======================================================================
@@ -351,58 +388,139 @@ def _prop_centers(T: int, read_lens: np.ndarray) -> np.ndarray:
 
 
 def _run_round(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]],
-               W: int) -> list[_RoundOut]:
+               W: int, mesh=None) -> list[_RoundOut]:
+    """One realign round for every job, routed per lane.
+
+    Lanes whose previous-round traceback path is available (``jpath_prev``
+    row with ≥ 2 valid boundaries) realign through the WINDOWED kernel —
+    independent ``_WS``-column template windows anchored on the previous
+    path, all windows of all lanes of all jobs in one fixed-shape
+    dispatch (daccord's windowed consensus re-expressed for the MXU/VPU:
+    the full-template scan is latency-bound at one sequential row per
+    template column, the windowed realign runs thousands of 192-row DPs
+    in parallel).  First-round lanes (no path yet) and windowed failures
+    take the full banded scan (:func:`_run_round_full`).
+    """
+    if os.environ.get("DENTIST_TPU_NO_WINDOWED"):
+        return _run_round_full(jobs, W, mesh=mesh)
+    win_jobs: list[int] = []
+    full_jobs: list[int] = []
+    for ji, (template, reads, jp) in enumerate(jobs):
+        if (jp is not None and jp.shape == (len(reads), len(template) + 1)
+                and len(template) >= _WS):
+            win_jobs.append(ji)
+        else:
+            full_jobs.append(ji)
+    outs: list[_RoundOut | None] = [None] * len(jobs)
+    retry_jobs: list[tuple[np.ndarray, list[np.ndarray], None]] = []
+    retry_map: list[tuple[int, int]] = []  # (job_idx, read_idx)
+    if win_jobs:
+        wouts, failures = _run_round_windowed([jobs[ji] for ji in win_jobs],
+                                              W, mesh=mesh)
+        for wi, ji in enumerate(win_jobs):
+            outs[ji] = wouts[wi]
+        for wi, ri in failures:
+            ji = win_jobs[wi]
+            template, reads, _ = jobs[ji]
+            retry_jobs.append((template, [reads[ri]], None))
+            retry_map.append((ji, ri))
+    if full_jobs or retry_jobs:
+        fouts = _run_round_full([jobs[ji] for ji in full_jobs] + retry_jobs,
+                                W, mesh=mesh)
+        for k, ji in enumerate(full_jobs):
+            outs[ji] = fouts[k]
+        for k, (ji, ri) in enumerate(retry_map):
+            r = fouts[len(full_jobs) + k]
+            o = outs[ji]
+            o.sym[ri] = r.sym[0]
+            o.ins[ri] = r.ins[0]
+            o.jpath[ri] = r.jpath[0]
+            o.spans[ri] = r.spans[0]
+            o.diffs[ri] = r.diffs[0]
+            o.win[ri] = r.win[0][: o.win.shape[1]]
+            o.covered[ri] = r.covered[0]
+    return outs
+
+
+def _run_round_full(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | None]],
+                    W: int, mesh=None) -> list[_RoundOut]:
     """Align every job's reads to its template in bucketed batched
     dispatches; lanes from all jobs share dispatches.
 
     jobs: (template, reads, jpath_prev) per pile-up.  Lanes that fail
     with path-following/slope-1 centers are retried once with
     proportional centers (partial vs full-span reads drift differently).
+    With ``mesh`` (>1 device) every dispatch runs data-parallel over the
+    mesh's ``dp`` axis with allgathered outputs (identical results).
     """
-    lanes = []  # (job_idx, read_idx, template, read, jpath_prev)
+    from concurrent.futures import ThreadPoolExecutor
+
+    lanes = []  # (job_idx, read_idx, template, read)
+    # band centers are built ONCE per job across all its lanes (the
+    # per-lane np.interp calls were a measured host hotspot)
+    centers_path: list[np.ndarray] = []
+    centers_prop: list[np.ndarray | None] = []
     for ji, (template, reads, jpath_prev) in enumerate(jobs):
+        T = max(len(template), 1)
+        rl = np.array([len(r) for r in reads], dtype=np.int64)
+        jp = jpath_prev if (jpath_prev is not None
+                            and jpath_prev.shape[0] == len(reads)) else None
+        centers_path.append(_make_centers(T, rl, jp))
+        centers_prop.append(None)  # built lazily on retry
         for ri, r in enumerate(reads):
-            lanes.append((ji, ri, template, r, jpath_prev))
+            lanes.append((ji, ri, template, r))
 
     outs: dict[tuple[int, int], tuple] = {}
-    # group lanes by (T bucket, RL bucket)
-    groups: dict[tuple[int, int], list[int]] = {}
-    for li, (ji, ri, template, r, _) in enumerate(lanes):
-        key = (_t_bucket(max(len(template), 1)), _rl_bucket(max(len(r), 1)))
-        groups.setdefault(key, []).append(li)
+    groups: dict[int, list[int]] = {}  # T bucket -> lane indices
+    for li, (ji, ri, template, r) in enumerate(lanes):
+        groups.setdefault(_t_bucket(max(len(template), 1)), []).append(li)
 
     # two-phase: dispatch every chunk of every group before fetching any
     # result, so device compute overlaps host window assembly and the
-    # per-dispatch round trips of different groups overlap each other
-    inflight = []
-    for (TB, RLB), lidx in groups.items():
-        # power-of-2 chunk size: the kernel recompiles per lane-count
-        # shape, so full chunks and padded remainders (see
-        # _dispatch_chunk) both land on power-of-2 lane counts
-        max_n = max(8, 1 << ((_MOVE_BUDGET // (TB * W)).bit_length() - 1))
+    # per-dispatch round trips of different groups overlap each other.
+    # Dispatch itself runs on a pool: first-call compiles (or cache
+    # loads) of different shapes then overlap instead of serializing.
+    def centers_for(li):
+        ji, ri, _, _ = lanes[li]
+        return centers_path[ji][:, ri]
+
+    plan = []
+    for TB, lidx in groups.items():
+        max_n = _n_max(TB, W)
         for c0 in range(0, len(lidx), max_n):
             chunk = lidx[c0 : c0 + max_n]
-            inflight.append((chunk, TB, RLB,
-                             _dispatch_chunk(lanes, chunk, TB, RLB, W)))
-    # fetch all chunks concurrently: every result fetch pays a full
-    # device-tunnel round trip, and they pipeline when overlapped
-    from concurrent.futures import ThreadPoolExecutor
-
+            plan.append((chunk, TB))
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
+        handles = list(ex.map(
+            lambda t: _dispatch_chunk(lanes, t[0], t[1], W, centers_for,
+                                      mesh=mesh), plan))
+        # fetch all chunks concurrently: every result fetch pays a full
+        # device-tunnel round trip, and they pipeline when overlapped
+        fetched = list(ex.map(np.asarray, handles))
     retries = []
-    for (chunk, TB, RLB, handle), arr in zip(inflight, fetched):
-        _collect_chunk(lanes, chunk, TB, handle, outs, fetched=arr)
+    for (chunk, TB), arr in zip(plan, fetched):
+        _collect_chunk(lanes, chunk, TB, outs, fetched=arr)
         # retry uncovered lanes with proportional centers
         retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
         if retry:
-            retries.append((retry, TB, RLB,
-                            _dispatch_chunk(lanes, retry, TB, RLB, W,
-                                            jpath_centers=False)))
+            for li in retry:
+                ji = lanes[li][0]
+                if centers_prop[ji] is None:
+                    template, reads, _ = jobs[ji]
+                    rl = np.array([len(r) for r in reads], dtype=np.int64)
+                    centers_prop[ji] = _prop_centers(max(len(template), 1), rl)
+
+            def prop_for(li):
+                ji, ri, _, _ = lanes[li]
+                return centers_prop[ji][:, ri]
+
+            retries.append((retry, TB,
+                            _dispatch_chunk(lanes, retry, TB, W, prop_for,
+                                            mesh=mesh)))
     with ThreadPoolExecutor(max_workers=4) as ex:
-        refetched = list(ex.map(lambda t: np.asarray(t[3]), retries))
-    for (retry, TB, RLB, handle), arr in zip(retries, refetched):
-        _collect_chunk(lanes, retry, TB, handle, outs, only_if_better=True,
+        refetched = list(ex.map(lambda t: np.asarray(t[2]), retries))
+    for (retry, TB, handle), arr in zip(retries, refetched):
+        _collect_chunk(lanes, retry, TB, outs, only_if_better=True,
                        fetched=arr)
 
     # assemble per-job outputs
@@ -435,48 +553,322 @@ def TB_nwin(T: int) -> int:
     return (T + TRACE_SPACING - 1) // TRACE_SPACING
 
 
-def _dispatch_chunk(lanes, chunk, TB, RLB, W, jpath_centers=True):
-    """Assemble + dispatch one chunk; returns the async device handle."""
+# ======================================================================
+# Windowed realign round (rounds with a previous traceback path)
+# ======================================================================
+
+#: interior columns per window lane (= the QV/trace spacing, so stitched
+#: per-window diff buckets land exactly on the intrinsic-QV grid)
+_ADV = TRACE_SPACING
+#: margin columns on each side of the interior, realigned but discarded —
+#: absorbs boundary wander of the previous round's path (and of template
+#: edits, which the exact ``src_bnd`` remap bounds to ±1 column per edit)
+_MARGIN = 33
+#: template rows per window lane (multiple of the kernel's 32-row chunks)
+_WS = _ADV + 2 * _MARGIN
+#: read-segment capacity per lane (the fixed RL bucket: 2·_WS)
+_SEG = 2 * _WS
+#: skippable read chars prepended before each window (leading read
+#: prefixes are free in the kernel; trailing slack would be force-consumed)
+_LEAD_SLACK = 8
+
+
+def _run_round_windowed(jobs, W: int, mesh=None):
+    """Realign via independent path-anchored template windows.
+
+    Every (read, window) pair becomes one lane of a SINGLE fixed shape
+    (``_WS`` template rows × ``_SEG`` read chars): the full-template scan
+    is latency-bound — one sequential DP row per template column — while
+    window lanes of every read of every pile-up run in parallel, which is
+    daccord's windowed-consensus structure mapped onto the VPU
+    (``dazzler.d:4196-4340``; w=40/advance 10 there, 192/126 here).  Only
+    each window's interior ``_ADV`` columns contribute to the stitched
+    result; the ``_MARGIN`` overlap is discarded, so window-boundary
+    artifacts cannot vote.
+
+    Returns ``(outs, failures)``: per-job :class:`_RoundOut` plus the
+    (job, read) lanes that need the full banded scan (no usable previous
+    path).  Stitched ``win``/``diffs`` count insertion runs at their
+    ≤4-rank cap — runs of 5+ at one boundary (vanishingly rare at 13 %
+    error) undercount the QV signal slightly; votes are unaffected.
+    """
+    lane_tpl, lane_seg = [], []
+    lane_tlen, lane_seglen = [], []
+    per_job = []  # (rr, kk, i0, kend, b0, b1, jlo_s, lane_offset)
+    failures: list[tuple[int, int]] = []
+    total = 0
+    for wi, (template, reads, jp) in enumerate(jobs):
+        T = len(template)
+        n = len(reads)
+        nwin = -(-T // _ADV)
+        valid = jp >= 0
+        nvalid = valid.sum(axis=1)
+        s = np.argmax(valid, axis=1)
+        e = T - np.argmax(valid[:, ::-1], axis=1)  # last valid boundary
+        ok_read = nvalid >= 2
+        for ri in np.flatnonzero(~ok_read):
+            failures.append((wi, int(ri)))
+        k = np.arange(nwin)
+        i0 = k * _ADV
+        kend = np.minimum(i0 + _ADV, T)
+        b0 = np.maximum(i0 - _MARGIN, 0)
+        b1 = np.minimum(i0 + _ADV + _MARGIN, T)
+        rel = (ok_read[:, None] & (i0[None, :] < e[:, None])
+               & (kend[None, :] > s[:, None]))
+        lo_b = np.maximum(b0[None, :], s[:, None])
+        hi_b = np.minimum(b1[None, :], e[:, None])
+        jlo = np.take_along_axis(jp, np.clip(lo_b, 0, T), axis=1)
+        jhi = np.take_along_axis(jp, np.clip(hi_b, 0, T), axis=1)
+        rel &= (jlo >= 0) & (jhi > jlo)
+        rr, kk = np.nonzero(rel)
+        L = len(rr)
+        if L == 0:
+            per_job.append(None)
+            continue
+        jl = np.maximum(jlo[rr, kk] - _LEAD_SLACK, 0)
+        jl = np.maximum(jl, jhi[rr, kk] - _SEG)
+        seg_len = jhi[rr, kk] - jl
+        t_len = (b1 - b0)[kk]
+        tidx = b0[kk][:, None] + np.arange(_WS)[None, :]
+        tmask = tidx < b1[kk][:, None]
+        lane_tpl.append(np.where(
+            tmask, template[np.minimum(tidx, max(T - 1, 0))], 0).astype(np.uint8))
+        RL = max((len(r) for r in reads), default=1)
+        reads_arr = np.zeros((n, RL), dtype=np.uint8)
+        for ni, r in enumerate(reads):
+            reads_arr[ni, : len(r)] = r
+        sidx = jl[:, None] + np.arange(_SEG)[None, :]
+        smask = np.arange(_SEG)[None, :] < seg_len[:, None]
+        lane_seg.append(np.where(
+            smask, reads_arr[rr[:, None], np.minimum(sidx, RL - 1)], 0
+        ).astype(np.uint8))
+        lane_tlen.append(t_len)
+        lane_seglen.append(seg_len)
+        per_job.append((rr, kk, i0, kend, b0, b1, jl, total))
+        total += L
+
+    fetched = _dispatch_windowed_lanes(
+        lane_tpl, lane_tlen, lane_seg, lane_seglen, total, W, mesh)
+
+    outs = []
+    for wi, (template, reads, jp) in enumerate(jobs):
+        T = len(template)
+        n = len(reads)
+        NWIN = max(TB_nwin(T), 1)
+        sym_g = np.full((n, T), 5, np.int8)
+        ins_g = np.zeros((n, T + 1, 4), np.int8)
+        jp_g = np.full((n, T + 1), -1, np.int64)
+        meta = per_job[wi]
+        if meta is not None:
+            rr, kk, i0, kend, b0, b1, jl, off = meta
+            L = len(rr)
+            sym_l, ins_l, jpath_l = (fetched[0][off : off + L],
+                                     fetched[1][off : off + L],
+                                     fetched[2][off : off + L])
+            width = kend - i0  # (nwin,)
+            loc0 = (i0 - b0)[kk]  # local row of the interior start
+            cols = i0[kk][:, None] + np.arange(_ADV)[None, :]
+            cmask = cols < kend[kk][:, None]
+            src = loc0[:, None] + np.arange(_ADV)[None, :]
+            # interior columns: votes, path, per-column symbols
+            ccols = np.minimum(cols, T - 1)  # safe pre-mask (cmask ⇒ < T)
+            flat_cols = (rr[:, None] * T + ccols)[cmask]
+            flat_bnds = (rr[:, None] * (T + 1) + ccols)[cmask]
+            sym_g.reshape(-1)[flat_cols] = np.take_along_axis(
+                sym_l, src, axis=1)[cmask]
+            jvals = np.take_along_axis(jpath_l.astype(np.int64), src, axis=1)
+            jvals = np.where(jvals >= 0, jvals + jl[:, None], -1)
+            jp_g.reshape(-1)[flat_bnds] = jvals[cmask]
+            ivals = np.take_along_axis(ins_l, src[:, :, None], axis=1)
+            ins_g.reshape(n * (T + 1), 4)[flat_bnds] = ivals[cmask]
+            # final boundary T comes from the last window's local t_len
+            last = kend[kk] == T
+            if last.any():
+                tl = (b1 - b0)[kk][last]
+                jT = jpath_l[last, tl].astype(np.int64)
+                jp_g[rr[last], T] = np.where(jT >= 0, jT + jl[last], -1)
+                ins_g[rr[last], T] = ins_l[last, tl]
+        # derived per-read statistics from the stitched columns
+        tplv = template[None, :T]
+        mism = (sym_g < 4) & (sym_g != tplv)
+        dele = sym_g == 4
+        contrib_col = mism.astype(np.int64) + dele
+        ins_cnt = (ins_g != 0).sum(axis=2).astype(np.int64)
+        bounds = np.arange(0, max(T, 1), TRACE_SPACING)[:NWIN]
+        win_cols = np.add.reduceat(contrib_col, bounds, axis=1) if T else \
+            np.zeros((n, NWIN), np.int64)
+        win_ins = np.add.reduceat(ins_cnt[:, : T + 1], bounds, axis=1)
+        win = (win_cols + win_ins).astype(np.int32)
+        diffs = contrib_col.sum(axis=1) + ins_cnt.sum(axis=1)
+        covered_cols = sym_g != 5
+        covered = covered_cols.any(axis=1)
+        first = np.argmax(covered_cols, axis=1)
+        last_c = T - np.argmax(covered_cols[:, ::-1], axis=1)
+        spans = np.stack([np.where(covered, first, 0),
+                          np.where(covered, last_c, 0)], axis=1)
+        outs.append(_RoundOut(sym_g, ins_g, jp_g, spans,
+                              np.where(covered, diffs, 0), win, covered))
+        # defensively retry reads whose windows all failed to stitch
+        if meta is not None:
+            for ri in np.flatnonzero(~covered):
+                if (wi, int(ri)) not in failures and len(reads[ri]):
+                    failures.append((wi, int(ri)))
+    return outs, failures
+
+
+def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
+                             total: int, W: int, mesh=None):
+    """Dispatch all window lanes in ladder-bucketed chunks of the ONE
+    windowed shape; returns stacked (sym, ins, jpath) host arrays."""
+    NWIN = max(TB_nwin(_WS), 1)
+    sym_all = np.zeros((total, _WS), np.int8)
+    ins_all = np.zeros((total, _WS + 1, 4), np.int8)
+    jp_all = np.full((total, _WS + 1), -1, np.int64)
+    if total == 0:
+        return sym_all, ins_all, jp_all
+    tpl = np.concatenate(lane_tpl)
+    seg = np.concatenate(lane_seg)
+    tlen = np.concatenate(lane_tlen).astype(np.int64)
+    slen = np.concatenate(lane_seglen).astype(np.int64)
+    # proportional band centers per lane, step-clamped
+    rows = np.arange(_WS + 1, dtype=np.int64)
+    cen = (np.minimum(rows[:, None], tlen[None, :]) * slen[None, :]
+           // np.maximum(tlen[None, :], 1))
+    cen = _clamp_steps(cen.astype(np.int32))
+
     from .banded import _pack2bit
 
-    # pad the lane count to a power of 2 (min 8): N is a traced shape,
-    # so arbitrary retry/remainder lane counts would each recompile the
-    # kernel; padding lanes carry empty reads and their outputs are
-    # simply not read back
-    N = max(8, 1 << (len(chunk) - 1).bit_length())
+    def dispatch(c0, c1):
+        Nc = _n_bucket_lanes(c1 - c0, _WS, W)
+        tpl_c = np.zeros((Nc, _WS), np.uint8)
+        seg_c = np.zeros((Nc, _SEG), np.uint8)
+        tl = np.ones(Nc, np.int32)
+        sl = np.zeros(Nc, np.int32)
+        cn = np.zeros((_WS + 1, Nc), np.int32)
+        m = c1 - c0
+        tpl_c[:m] = tpl[c0:c1]
+        seg_c[:m] = seg[c0:c1]
+        tl[:m] = tlen[c0:c1]
+        sl[:m] = slen[c0:c1]
+        cn[:, :m] = cen[:, c0:c1]
+        steps = np.clip(np.diff(cn, axis=0), 0, 2).astype(np.uint8).T
+        chars_pack = np.concatenate(
+            [_pack2bit(tpl_c), _pack2bit(seg_c), _pack2bit(steps)], axis=1)
+        meta = np.concatenate([tl, sl, cn[0]])
+        if mesh is not None and mesh.size > 1:
+            return _sharded_nw_round(mesh, _WS, _SEG, W, _WS + _SEG, NWIN,
+                                     lead_free=2 * _LEAD_SLACK)(
+                jnp.asarray(chars_pack), jnp.asarray(meta.reshape(3, Nc)))
+        return _nw_round_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
+                                T=_WS, RL=_SEG, W=W, S=_WS + _SEG, NWIN=NWIN,
+                                lead_free=2 * _LEAD_SLACK)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    max_n = _n_max(_WS, W)
+    plan = [(c0, min(c0 + max_n, total)) for c0 in range(0, total, max_n)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        handles = list(ex.map(lambda p: dispatch(*p), plan))
+        arrs = list(ex.map(np.asarray, handles))
+    n8 = (5 * _WS + 4) // 4
+    for (c0, c1), packed in zip(plan, arrs):
+        packed = np.ascontiguousarray(packed)
+        m = c1 - c0
+        blk8 = packed[:, :n8].view(np.uint8).reshape(len(packed), 5 * _WS + 4)
+        blk32 = packed[:, n8:]
+        sym_all[c0:c1] = blk8[:m, :_WS].view(np.int8)
+        ins_all[c0:c1] = blk8[:m, _WS:].view(np.int8).reshape(m, _WS + 1, 4)
+        jp_all[c0:c1] = blk32[:m, : _WS + 1]
+    return sym_all, ins_all, jp_all
+
+
+def _dispatch_chunk(lanes, chunk, TB, W, centers_for, mesh=None):
+    """Assemble + dispatch one chunk; returns the async device handle.
+
+    ``centers_for(lane_idx)`` supplies each lane's precomputed
+    step-clamped band-center column.  The lane count is padded to one of
+    exactly TWO shapes per T bucket (``_N_SMALL`` or the move-budget
+    width) so retries and remainders reuse the main compiled programs.
+    """
+    from .banded import _pack2bit
+
+    RLB = _rl_bucket(0, TB)
+    N = _n_bucket_lanes(len(chunk), TB, W)
+    if mesh is not None and mesh.size > 1:
+        assert N % mesh.size == 0, (N, mesh.size)
     tpl = np.zeros((N, TB), dtype=np.uint8)
     t_lens = np.ones(N, dtype=np.int32)
     reads_arr = np.zeros((N, RLB), dtype=np.uint8)
     read_lens = np.zeros(N, dtype=np.int32)
     centers = np.zeros((TB + 1, N), dtype=np.int32)
     for k, li in enumerate(chunk):
-        ji, ri, template, r, jpath_prev = lanes[li]
+        ji, ri, template, r = lanes[li]
         T = len(template)
         tpl[k, :T] = template
         t_lens[k] = T
-        reads_arr[k, : len(r)] = r
-        read_lens[k] = len(r)
-        if jpath_centers:
-            jp = jpath_prev[ri : ri + 1].astype(np.int64) if (
-                jpath_prev is not None and ri < len(jpath_prev)) else None
-            c = _make_centers(T, read_lens[k : k + 1], jp)
-        else:
-            c = _prop_centers(T, read_lens[k : k + 1])
-        centers[: T + 1, k] = c[:, 0]
-        centers[T + 1 :, k] = c[T, 0]
+        rl = min(len(r), RLB)  # see _rl_bucket: >2·T reads cannot pass anyway
+        reads_arr[k, :rl] = r[:rl]
+        read_lens[k] = rl
+        c = centers_for(li)
+        centers[: T + 1, k] = c
+        centers[T + 1 :, k] = c[T]
     NWIN = max(TB_nwin(TB), 1)
     steps = np.clip(np.diff(centers, axis=0), 0, 2).astype(np.uint8).T  # (N, TB)
     chars_pack = np.concatenate(
         [_pack2bit(tpl), _pack2bit(reads_arr), _pack2bit(steps)], axis=1)
     meta = np.concatenate([t_lens, read_lens, centers[0].astype(np.int32)])
+    if mesh is not None and mesh.size > 1:
+        return _sharded_nw_round(mesh, TB, RLB, W, TB + RLB, NWIN)(
+            jnp.asarray(chars_pack), jnp.asarray(meta.reshape(3, N)))
     return _nw_round_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
                             T=TB, RL=RLB, W=W, S=TB + RLB, NWIN=NWIN)
 
 
-def _collect_chunk(lanes, chunk, TB, handle, outs, only_if_better=False,
+#: compiled sharded consensus kernels keyed by (mesh devices, shape)
+_SHARDED_ROUND_CACHE: dict = {}
+
+
+def _sharded_nw_round(mesh, T: int, RL: int, W: int, S: int, NWIN: int,
+                      lead_free: int = -1):
+    """The consensus realign kernel under ``shard_map`` over ``mesh``.
+
+    The mesh-parallel process stage (SURVEY §2.4 "pile-up batches across
+    chips; allgather insertions"; the reference's ``--batch`` slices +
+    ``merge-insertions``, ``snakemake/Snakefile:1315-1358``): lanes —
+    independent (template, read) pairs drawn from many pile-ups — shard
+    on ``dp``; the packed per-lane result block is **allgathered** so
+    every device (host) holds every lane's result.  Per-lane math is the
+    single-device kernel, so sharded output == single-device output
+    exactly (asserted by ``tests/test_consensus.py``).
+    """
+    key = (tuple(d.id for d in mesh.devices.flat), T, RL, W, S, NWIN,
+           lead_free)
+    fn = _SHARDED_ROUND_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp", None), P(None, "dp")),
+        out_specs=P(),
+        check_vma=False,  # the trailing all_gather replicates the output
+    )
+    def step(chars_pack, meta3):
+        out = _nw_round_packed(chars_pack, meta3.reshape(-1),
+                               T=T, RL=RL, W=W, S=S, NWIN=NWIN,
+                               lead_free=lead_free)
+        return jax.lax.all_gather(out, "dp", axis=0, tiled=True)
+
+    _SHARDED_ROUND_CACHE[key] = step
+    return fn or step
+
+
+def _collect_chunk(lanes, chunk, TB, outs, only_if_better=False,
                    fetched=None):
-    """Fetch a dispatched chunk's packed block and unpack per lane."""
-    packed = np.asarray(handle) if fetched is None else fetched
+    """Unpack a fetched chunk's packed block per lane."""
+    packed = fetched
     # device results can come back with a non-row-major layout (XLA picks
     # the on-device layout; the tunnel preserves it), which breaks the
     # uint8 reinterpretation below — force C order (no-op when already so)
@@ -521,8 +913,15 @@ def _votes_of(out: _RoundOut, T: int):
     return col_votes, ins_votes, cov
 
 
-def _rebuild_template(template: np.ndarray, col_votes, ins_votes, cov) -> np.ndarray:
-    """Per-column majority + majority-supported insertions (vectorized)."""
+def _rebuild_template(template: np.ndarray, col_votes, ins_votes, cov):
+    """Per-column majority + majority-supported insertions (vectorized).
+
+    Returns ``(new_template, src_bnd)`` where ``src_bnd`` (len+1,) maps
+    each new boundary to its source boundary in the old template — the
+    exact column correspondence that lets the previous round's traceback
+    paths (``jpath``) follow template edits (the windowed realign rounds
+    anchor on them; a linear stretch would drift by the edit count).
+    """
     T = len(template)
     covered = np.flatnonzero(cov > 0)
     lo, hi = (int(covered[0]), int(covered[-1]) + 1) if len(covered) else (0, T)
@@ -555,13 +954,18 @@ def _rebuild_template(template: np.ndarray, col_votes, ins_votes, cov) -> np.nda
     vals[:, 4] = col_char
     keep[:, 4] = col_keep
     parts = vals.reshape(-1)[keep.reshape(-1)]
+    # each kept element's pre-boundary is its source column (insertion
+    # slots precede column i; the column base sits between i and i+1)
+    parts_src = np.repeat(idx, 5)[keep.reshape(-1)]
 
     # trailing insertions at boundary hi
     iv_hi = ins_votes[hi]
     c_hi = max(cov[hi - 1] if hi > 0 else 1, 1)
     tail_accept = iv_hi.max(axis=1) * 2 > c_hi
     tail = iv_hi.argmax(axis=1)[tail_accept]
-    return np.concatenate([parts, tail]).astype(np.uint8)
+    src_bnd = np.concatenate(
+        [parts_src, np.full(len(tail) + 1, hi, dtype=np.int64)])
+    return np.concatenate([parts, tail]).astype(np.uint8), src_bnd
 
 
 # ======================================================================
@@ -692,9 +1096,10 @@ def _banded_nw_dist(templates, t_lens, reads, read_lens, T: int, W: int,
     return jax.vmap(one)(templates, t_lens, reads, read_lens)
 
 
-_V_CHUNK = 512
-_V_MAX = 8192
-_N_BUCKETS = [8, 16, 32, 64, 128]
+#: polish-scorer lane buckets: exactly two V widths and three read-count
+#: widths — SIX compiled shapes total, most runs touching one or two
+_V_SMALL, _V_MAX = 512, 8192
+_N_BUCKETS = [8, 32, 128]
 
 
 @functools.partial(jax.jit, static_argnames=("TW", "TWp", "RW", "NB"))
@@ -704,19 +1109,50 @@ def _nw_dist_full_packed(chars_pack, meta, TW: int, TWp: int, RW: int,
 
     ``chars_pack`` (V, (TWp + NB·RW)/4) uint8 = per variant [template
     window (TWp cols, padded) | NB read windows (RW cols each)] 2-bit
-    packed; ``meta`` (V + V·NB,) int32 = [t_len | rwin_len].  Separate
-    tpl/rwin/t_len/rwin_len transfers paid 4 device-tunnel RPCs per
-    chunk — the dominant cost of the polish scoring stage.
+    packed; ``meta`` (V, 1 + NB) int32 = [t_len, rwin_len...] per row
+    (row-major so the lane axis shards cleanly under ``shard_map``).
+    Separate tpl/rwin/t_len/rwin_len transfers paid 4 device-tunnel RPCs
+    per chunk — the dominant cost of the polish scoring stage.
     """
     from .banded import _unpack2bit
 
-    V = meta.shape[0] // (1 + NB)
+    V = meta.shape[0]
     buf = _unpack2bit(chars_pack)  # (V, TWp + NB*RW)
     tpl = buf[:, :TW]
     rwin = buf[:, TWp:].reshape(V, NB, RW)
-    t_len = meta[:V]
-    rwin_len = meta[V:].reshape(V, NB)
+    t_len = meta[:, 0]
+    rwin_len = meta[:, 1:]
     return _nw_dist_full(tpl, t_len, rwin, rwin_len, T=TW, global_ends=True)
+
+
+#: compiled sharded polish scorers keyed by (mesh devices, shape)
+_SHARDED_DIST_CACHE: dict = {}
+
+
+def _sharded_nw_dist(mesh, TW: int, TWp: int, RW: int, NB: int):
+    """:func:`_nw_dist_full_packed` under ``shard_map``: candidate lanes
+    shard on ``dp``, per-lane distances are allgathered (identical to the
+    single-device result)."""
+    key = (tuple(d.id for d in mesh.devices.flat), TW, TWp, RW, NB)
+    fn = _SHARDED_DIST_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def step(chars_pack, meta):
+        out = _nw_dist_full_packed(chars_pack, meta, TW=TW, TWp=TWp, RW=RW,
+                                   NB=NB)
+        return jax.lax.all_gather(out, "dp", axis=0, tiled=True)
+
+    _SHARDED_DIST_CACHE[key] = step
+    return step
 
 
 def _n_bucket(n: int) -> int:
@@ -726,85 +1162,131 @@ def _n_bucket(n: int) -> int:
     return _N_BUCKETS[-1]
 
 
-def _window_gains_multi(cands, W_score: int = 16, HALF: int = 16):
+def _assemble_gain_group(template, pos, kind, base, reads_arr, jpath,
+                         NB: int, HALF: int, RW: int, TW: int):
+    """Vectorized window assembly for one pile-up's candidate edits.
+
+    Returns (win (K, TW), wlen, ewin (K, TW), elen, seg (K, NB, RW),
+    seglen (K, NB), ok (K, NB)) — the per-candidate base and edited
+    template windows plus each read's path-anchored segment.  The former
+    per-candidate-per-read Python loop was a measured 2.2 s/run host
+    hotspot.
+    """
+    K = len(pos)
+    T = len(template)
+    n = min(reads_arr.shape[0], NB)
+    lo = np.maximum(pos - HALF, 0)
+    hi = np.minimum(pos + HALF, T)
+    wlen = hi - lo
+    ar = np.arange(TW, dtype=np.int64)
+    c = ar[None, :]
+    idx = lo[:, None] + c
+    win = np.where(c < wlen[:, None],
+                   template[np.minimum(idx, max(T - 1, 0))], 0).astype(np.uint8)
+    d = (pos - lo)[:, None]
+    k2 = kind[:, None]
+    # edited-window source columns: deletion skips d, insertion shifts
+    # right of d (d itself overwritten with the base), substitution copies
+    src = np.where(k2 == 0, np.where(c < d, c, c + 1),
+                   np.where(k2 == 1, np.where(c <= d, c, c - 1), c))
+    ewin = np.take_along_axis(win, np.minimum(src, TW - 1), axis=1)
+    at_d = (c == d) & (k2 != 0)
+    ewin = np.where(at_d, base[:, None], ewin).astype(np.uint8)
+    elen = wlen + (kind == 1).astype(np.int64) - (kind == 0).astype(np.int64)
+    ewin = np.where(c < elen[:, None], ewin, 0).astype(np.uint8)
+
+    seg = np.zeros((K, NB, RW), dtype=np.uint8)
+    seglen = np.zeros((K, NB), dtype=np.int64)
+    ok = np.zeros((K, NB), dtype=bool)
+    if n:
+        jlo = jpath[:n, lo].T  # (K, n)
+        jhi = jpath[:n, hi].T
+        ok_n = (jlo >= 0) & (jhi > jlo) & (jhi - jlo <= RW)
+        sl = np.where(ok_n, jhi - jlo, 0)
+        RL = reads_arr.shape[1]
+        ridx = np.clip(jlo[:, :, None], 0, RL - 1) + np.arange(RW)[None, None, :]
+        mask = np.arange(RW)[None, None, :] < sl[:, :, None]
+        seg[:, :n] = np.where(
+            mask, reads_arr[np.arange(n)[None, :, None],
+                            np.clip(ridx, 0, RL - 1)], 0)
+        seglen[:, :n] = sl
+        ok[:, :n] = ok_n
+    return win, wlen, ewin, elen, seg, seglen, ok
+
+
+def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
     """Score candidate edits on path-anchored local windows, batched
     across pile-ups.
 
-    cands: list of (template, pos, kind, base, reads_arr, jpath) — each
-    candidate carries its own pile-up context, so one dispatch mixes
+    groups: list of (template, pos (K,), kind (K,), base (K,),
+    reads_arr, jpath) — one entry per pile-up, so one dispatch mixes
     candidates from many pile-ups.  Both the unedited and edited window
-    are scored with a *global* banded NW against each read's segment
-    between its traceback-path coordinates at the window boundaries
-    (anchored ends — free ends would let deletions hide in unpenalized
-    gaps).  Gain = Σ(base − edit).
+    are scored with a *global* NW against each read's segment between
+    its traceback-path coordinates at the window boundaries (anchored
+    ends — free ends would let deletions hide in unpenalized gaps).
+    Returns flat gains in group order: Σ_reads (base − edit).
     """
     from .banded import _pack2bit
 
     TW = 2 * HALF + 2
     # read-window capacity: segments span ~TW·(1+err) chars (measured
     # p99 = 38 at 13 % error for TW=34); W_score slack absorbs the tail,
-    # and longer segments are skipped (cov_ok stays False) — they imply
+    # and longer segments are skipped (ok stays False) — they imply
     # a local blow-up the ±1-edit score can't judge anyway
     RW = 2 * HALF + W_score
     TWp = -(-TW // 4) * 4
-    gains = np.zeros(len(cands), dtype=np.int64)
-    NB = _n_bucket(max((c[4].shape[0] for c in cands), default=1))
+    NB = _n_bucket(max((g[4].shape[0] for g in groups if len(g[1])), default=1))
 
-    # one packed dispatch per power-of-2 candidate bucket (chunked only
-    # beyond _V_MAX/2 candidates): the previous 512-variant chunks each
-    # paid ~5 device-tunnel RPCs, dominating the polish stage
+    parts = [_assemble_gain_group(t, p, k, b, r, j, NB, HALF, RW, TW)
+             for (t, p, k, b, r, j) in groups if len(p)]
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    WIN = np.concatenate([p[0] for p in parts])
+    WLEN = np.concatenate([p[1] for p in parts])
+    EWIN = np.concatenate([p[2] for p in parts])
+    ELEN = np.concatenate([p[3] for p in parts])
+    SEG = np.concatenate([p[4] for p in parts])
+    SLEN = np.concatenate([p[5] for p in parts])
+    OK = np.concatenate([p[6] for p in parts])
+    Ktot = len(WIN)
+    gains = np.zeros(Ktot, dtype=np.int64)
+
     inflight = []
-    for c0 in range(0, len(cands), _V_MAX // 2):
-        chunk = cands[c0 : c0 + _V_MAX // 2]
-        half_v = max(64, 1 << (len(chunk) - 1).bit_length())
+    for c0 in range(0, Ktot, _V_MAX // 2):
+        n_chunk = min(_V_MAX // 2, Ktot - c0)
+        # two V widths only (see _V_SMALL): every chunk reuses a compiled
+        # shape instead of minting per-power-of-2 variants
+        half_v = _V_SMALL // 2 if n_chunk <= _V_SMALL // 2 else _V_MAX // 2
         V = 2 * half_v
         buf = np.zeros((V, TWp + NB * RW), dtype=np.uint8)
-        t_len = np.zeros(V, dtype=np.int32)
-        rwin_len = np.zeros((V, NB), dtype=np.int32)
-        cov_ok = np.zeros((V, NB), dtype=bool)
-        rwin_flat = np.zeros((V, NB, RW), dtype=np.uint8)
-        for k, (template, pos, kind, base, reads_arr, jpath) in enumerate(chunk):
-            T = len(template)
-            lo = max(0, pos - HALF)
-            hi = min(T, pos + HALF)
-            win = template[lo:hi]
-            if kind == 0:
-                ewin = np.delete(win, pos - lo)
-            elif kind == 1:
-                ewin = np.insert(win, pos - lo, base)
-            else:  # substitution
-                ewin = win.copy()
-                ewin[pos - lo] = base
-            buf[k, : len(win)] = win
-            t_len[k] = len(win)
-            buf[k + half_v, : len(ewin)] = ewin
-            t_len[k + half_v] = len(ewin)
-            for n in range(min(reads_arr.shape[0], NB)):
-                jlo, jhi = int(jpath[n, lo]), int(jpath[n, hi])
-                if jlo < 0 or jhi < 0 or jhi <= jlo or jhi - jlo > RW:
-                    continue
-                seg = reads_arr[n, jlo:jhi]
-                rwin_flat[k, n, : len(seg)] = seg
-                rwin_len[k, n] = len(seg)
-                cov_ok[k, n] = True
-        rwin_flat[half_v : half_v + len(chunk), :, :] = rwin_flat[: len(chunk)]
-        rwin_len[half_v : half_v + len(chunk)] = rwin_len[: len(chunk)]
-        buf[:, TWp:] = rwin_flat.reshape(V, NB * RW)
-        meta = np.concatenate([t_len, rwin_len.reshape(-1)])
-        out = _nw_dist_full_packed(
-            jnp.asarray(_pack2bit(buf)), jnp.asarray(meta),
-            TW=TW, TWp=TWp, RW=RW, NB=NB,
-        )
-        inflight.append((c0, len(chunk), half_v, cov_ok, out))
+        meta = np.zeros((V, 1 + NB), dtype=np.int32)
+        sl = slice(c0, c0 + n_chunk)
+        buf[:n_chunk, :TW] = WIN[sl]
+        buf[half_v : half_v + n_chunk, :TW] = EWIN[sl]
+        buf[:n_chunk, TWp:] = SEG[sl].reshape(n_chunk, NB * RW)
+        buf[half_v : half_v + n_chunk, TWp:] = buf[:n_chunk, TWp:]
+        meta[:n_chunk, 0] = WLEN[sl]
+        meta[half_v : half_v + n_chunk, 0] = ELEN[sl]
+        meta[:n_chunk, 1:] = SLEN[sl]
+        meta[half_v : half_v + n_chunk, 1:] = SLEN[sl]
+        if mesh is not None and mesh.size > 1:
+            out = _sharded_nw_dist(mesh, TW, TWp, RW, NB)(
+                jnp.asarray(_pack2bit(buf)), jnp.asarray(meta))
+        else:
+            out = _nw_dist_full_packed(
+                jnp.asarray(_pack2bit(buf)), jnp.asarray(meta),
+                TW=TW, TWp=TWp, RW=RW, NB=NB,
+            )
+        inflight.append((c0, n_chunk, half_v, out))
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fetched = list(ex.map(lambda t: np.asarray(t[4]), inflight))
-    for (c0, n_chunk, half_v, cov_ok, out), d in zip(inflight, fetched):
-        db = d[:n_chunk]
-        de = d[half_v : half_v + n_chunk]
-        ok = cov_ok[:n_chunk] & (db < _INF) & (de < _INF)
-        gains[c0 : c0 + n_chunk] = np.where(ok, db - de, 0).sum(axis=1)
+        fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
+    for (c0, n_chunk, half_v, _out), dist in zip(inflight, fetched):
+        db = dist[:n_chunk]
+        de = dist[half_v : half_v + n_chunk]
+        okc = OK[c0 : c0 + n_chunk] & (db < _INF) & (de < _INF)
+        gains[c0 : c0 + n_chunk] = np.where(okc, db - de, 0).sum(axis=1)
     return gains
 
 
@@ -842,7 +1324,10 @@ def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08,
         # votes across neighbors — the exact window objective re-aligns
         # each read locally and can overturn a misvoted column (the
         # residual-error class votes alone never fix)
-        cur = template[:T].astype(np.int64)
+        # templates are 2-bit codes by construction; clip defensively so
+        # an N/pad code (≥ 4) reaching this boundary cannot fault the
+        # polish loop (it would merely skip that column's substitution)
+        cur = np.minimum(template[:T].astype(np.int64), 3)
         v = col_votes[:, :4].copy()
         cur_votes = v[np.arange(T), cur]
         v[np.arange(T), cur] = -1
@@ -854,7 +1339,7 @@ def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08,
     return candidates
 
 
-def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
+def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None):
     """Hill-climb on total edit distance to all reads, batched.
 
     Candidate edits (single-base insertions and deletions) come from the
@@ -878,25 +1363,30 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
             break
         jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
                 for p in active]
-        outs = _run_round(jobs, W)
+        outs = _run_round(jobs, W, mesh=mesh)
 
         all_cands = []  # (active_idx, pos, kind, base)
-        ctx = []
+        groups = []
         for ai, p in enumerate(active):
             T = len(states[p]["template"])
             col_votes, ins_votes, cov = _votes_of(outs[ai], T)
             states[p]["jpath"] = outs[ai].jpath
+            # this round's out matches the CURRENT template: stats are
+            # fresh unless edits are applied below (saves the former
+            # unconditional whole-batch refresh round at the end)
             states[p]["last_out"] = outs[ai]
+            states[p]["stats_stale"] = False
             reads_arr = states[p]["reads_arr"]
             cands = _candidates_from_votes(col_votes, ins_votes, cov,
                                            floor_high=floors[p],
                                            template=states[p]["template"])
             for c in cands:
                 all_cands.append((ai, c))
-                ctx.append((states[p]["template"], c[0], c[1], c[2],
-                            reads_arr, outs[ai].jpath))
-        gains = (_window_gains_multi(ctx, HALF=HALF) if all_cands
-                 else np.zeros(0, dtype=np.int64))
+            ca = np.array(cands, dtype=np.int64).reshape(-1, 3)
+            groups.append((states[p]["template"], ca[:, 0], ca[:, 1],
+                           ca[:, 2], reads_arr, outs[ai].jpath))
+        gains = (_window_gains_multi(groups, HALF=HALF, mesh=mesh)
+                 if all_cands else np.zeros(0, dtype=np.int64))
 
         still = []
         for ai, p in enumerate(active):
@@ -924,15 +1414,21 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8):
                     still.append(p)
                 continue
             template = states[p]["template"]
+            # src_bnd tracks each boundary's source so jpath follows the
+            # edits exactly (windowed realign anchors on it)
+            src_bnd = np.arange(len(template) + 1, dtype=np.int64)
             for pos, kind, base in sorted(chosen, reverse=True):
                 if kind == 0:
                     template = np.delete(template, pos)
+                    src_bnd = np.delete(src_bnd, pos)
                 elif kind == 1:
                     template = np.insert(template, pos, base)
+                    src_bnd = np.insert(src_bnd, pos, src_bnd[pos])
                 else:  # substitution
                     template = template.copy()
                     template[pos] = base
             states[p]["template"] = template
+            states[p]["jpath"] = states[p]["jpath"][:, src_bnd]
             states[p]["stats_stale"] = True
             still.append(p)
         active = still
@@ -978,13 +1474,16 @@ def _trivial_result(reads: list[np.ndarray]) -> ConsensusResult | None:
 
 def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
                     W: int = 128, template_idxs: list[int | None] | None = None,
-                    polish: bool = True) -> list[ConsensusResult]:
+                    polish: bool = True, mesh=None) -> list[ConsensusResult]:
     """Compute consensi for MANY pile-ups; dispatches are shared.
 
     Each realign round batches the lanes of every still-active pile-up
     into a handful of bucketed device programs (the reference
     thread-parallelizes pile-ups, ``processPileUps/package.d:153``; on
-    TPU they share dispatches instead).
+    TPU they share dispatches instead).  With ``mesh`` (>1 device) every
+    dispatch runs data-parallel over the mesh's ``dp`` axis with
+    allgathered per-lane outputs — the mesh-parallel process stage
+    (SURVEY §2.4; ``snakemake/Snakefile:1315-1358`` batch slices).
     """
     read_sets = [[np.asarray(r, dtype=np.uint8) for r in rs if len(r) > 0]
                  for rs in read_sets]
@@ -1017,25 +1516,29 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
             break
         jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
                 for p in active]
-        outs = _run_round(jobs, W)
+        outs = _run_round(jobs, W, mesh=mesh)
         for ai, p in enumerate(active):
             st = states[p]
             T = len(st["template"])
             col_votes, ins_votes, cov = _votes_of(outs[ai], T)
             st["jpath"] = outs[ai].jpath
             st["last_out"] = outs[ai]
-            new_template = _rebuild_template(st["template"], col_votes,
-                                             ins_votes, cov)
+            new_template, src_bnd = _rebuild_template(st["template"],
+                                                      col_votes, ins_votes, cov)
             if len(new_template) == len(st["template"]) and np.array_equal(
                     new_template, st["template"]):
                 st["done"] = True
+                st["stats_stale"] = False
             else:
                 st["template"] = new_template
+                # exact jpath remap: boundary c of the new template maps
+                # to source boundary src_bnd[c] of the old one
+                st["jpath"] = outs[ai].jpath[:, src_bnd]
                 st["stats_stale"] = True
 
     if polish:
         _polish_batch([states[p] for p in live],
-                      [read_sets[p] for p in live], W)
+                      [read_sets[p] for p in live], W, mesh=mesh)
 
     # refresh stats for pile-ups whose template changed after their last round
     stale = [p for p in live if states[p]["stats_stale"]
@@ -1043,7 +1546,7 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
     if stale:
         jobs = [(states[p]["template"], read_sets[p], states[p]["jpath"])
                 for p in stale]
-        outs = _run_round(jobs, W)
+        outs = _run_round(jobs, W, mesh=mesh)
         for ai, p in enumerate(stale):
             states[p]["last_out"] = outs[ai]
             states[p]["stats_stale"] = False
@@ -1062,10 +1565,12 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
 
 
 def consensus(reads: list[np.ndarray], rounds: int = 3, W: int = 128,
-              template_idx: int | None = None, polish: bool = True) -> ConsensusResult:
+              template_idx: int | None = None, polish: bool = True,
+              mesh=None) -> ConsensusResult:
     """Compute one pile-up's consensus (see :func:`consensus_batch`)."""
     return consensus_batch([reads], rounds=rounds, W=W,
-                           template_idxs=[template_idx], polish=polish)[0]
+                           template_idxs=[template_idx], polish=polish,
+                           mesh=mesh)[0]
 
 
 def rank_reference_reads(win_diffs: np.ndarray, spans: np.ndarray,

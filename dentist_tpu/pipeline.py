@@ -160,6 +160,8 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
                                     collect_cfg, contigs=contigs, reads=reads)
     _checkpoint(cfg, pile_ups=pile_ups)
     with trace_execution("stage.process"):
+        from .parallel.dp import default_mesh
+
         insertions = process_pile_ups(
             pile_ups, ctx, contigs, reads, homogenized,
             ProcessConfig(allow_single_reads=cfg.allow_single_reads,
@@ -167,6 +169,7 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
                           # the reference defaults minReadsPerPileUp to
                           # defaultMinSpanningReads (commandline.d:2131-2136)
                           min_reads_per_pile_up=cfg.min_spanning_reads),
+            mesh=default_mesh(),
         )
     _checkpoint(cfg, insertions=insertions)
     out_cfg = OutputConfig(join_policy=cfg.join_policy,

@@ -190,3 +190,24 @@ def test_corrupted_template_read_recovers_via_retry():
     nxt = next(int(r) for r in ranked if int(r) != med)
     retry = consensus(reads, template_idx=nxt)
     assert_matches_interior(truth, retry.sequence)
+
+
+def test_sharded_consensus_equals_single_device():
+    """Mesh-parallel consensus (lanes sharded on dp, results allgathered)
+    must be bit-identical to the single-device path — the process-stage
+    analogue of test_parallel.py's alignment assertions."""
+    from dentist_tpu.ops.consensus import consensus_batch
+    from dentist_tpu.parallel.dp import make_mesh
+
+    sets = []
+    for seed in (300, 301, 302):
+        truth = random_genome(500 + 200 * (seed % 2), seed=seed)
+        sets.append(noisy_reads(truth, 10, 0.13, seed=seed + 7))
+    single = consensus_batch(sets)
+    sharded = consensus_batch(sets, mesh=make_mesh(8))
+    for s, u in zip(sharded, single):
+        assert np.array_equal(s.sequence, u.sequence)
+        assert np.array_equal(s.read_diffs, u.read_diffs)
+        assert np.array_equal(s.read_spans, u.read_spans)
+        assert np.array_equal(s.win_diffs, u.win_diffs)
+        assert np.array_equal(s.coverage, u.coverage)
