@@ -390,18 +390,26 @@ def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
     # unbounded lanes (the common case) skip the per-row diag masking
     bound_diag = bool(np.any(np.asarray(diag_lo) != -DIAG_UNBOUNDED)
                       or np.any(np.asarray(diag_hi) != DIAG_UNBOUNDED))
-    args = (
-        jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
-        jnp.asarray(b_win, dtype=jnp.uint8),
-        jnp.asarray(b_len, dtype=jnp.int32),
-        jnp.asarray(offs_k, dtype=jnp.int32),
-        jnp.asarray(lane_k, dtype=jnp.int32),
-        jnp.asarray(a_len, dtype=jnp.int32),
-        jnp.asarray(diag_lo, dtype=jnp.int32),
-        jnp.asarray(diag_hi, dtype=jnp.int32),
+    host_args = (
+        np.ascontiguousarray(a_win.T).astype(np.uint8),
+        np.asarray(b_win, dtype=np.uint8),
+        np.asarray(b_len, dtype=np.int32),
+        np.asarray(offs_k, dtype=np.int32),
+        np.asarray(lane_k, dtype=np.int32),
+        np.asarray(a_len, dtype=np.int32),
+        np.asarray(diag_lo, dtype=np.int32),
+        np.asarray(diag_hi, dtype=np.int32),
     )
     if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.dp import stage_global
+
+        specs = (P(None, "dp"), P("dp", None), P("dp"), P(), P("dp"),
+                 P("dp"), P("dp"), P("dp"))
+        args = tuple(stage_global(mesh, s, a) for s, a in zip(specs, host_args))
         return sharded_extend_v3(mesh, W, bound_diag)(*args)
+    args = tuple(jnp.asarray(a) for a in host_args)
     return _extend_scan_v3(*args, W=W, bound_diag=bound_diag)
 
 

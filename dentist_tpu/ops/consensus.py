@@ -97,11 +97,9 @@ def _n_bucket_lanes(n: int, tb: int, W: int) -> int:
 # ======================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("T", "W", "S", "NWIN",
-                                             "lead_free"))
-def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
-                     T: int, W: int, S: int, NWIN: int,
-                     lead_free: int = -1):
+def _nw_round_parts(tpl, t_lens, reads, read_lens, centers,
+                    T: int, W: int, S: int, NWIN: int,
+                    lead_free: int = -1):
     """One realign round for N independent (template, read) lanes.
 
     tpl: (T, N) uint8 — per-lane template char stream (lanes of one
@@ -291,10 +289,23 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
 
     spans = jnp.stack([jnp.where(covered, i_f, 0), jnp.where(covered, i0, 0)], axis=1)
     diffs = jnp.where(covered, dmin, 0)
-    # ONE packed block: each result array fetched separately pays a full
-    # device round trip (7 RPCs per dispatch dominated the stage); the
-    # int8 half is bitcast into int32 words (4 bytes each, minor-dim
-    # packed) and concatenated with the int32 half
+    return sym, ins, jpath, spans, diffs, win, covered
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "S", "NWIN",
+                                             "lead_free"))
+def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
+                     T: int, W: int, S: int, NWIN: int,
+                     lead_free: int = -1):
+    """:func:`_nw_round_parts` with the results packed into ONE block:
+    each result array fetched separately pays a full device round trip
+    (7 RPCs per dispatch dominated the stage); the int8 half is bitcast
+    into int32 words (4 bytes each, minor-dim packed) and concatenated
+    with the int32 half."""
+    sym, ins, jpath, spans, diffs, win, covered = _nw_round_parts(
+        tpl, t_lens, reads, read_lens, centers, T=T, W=W, S=S, NWIN=NWIN,
+        lead_free=lead_free)
+    N = sym.shape[0]
     blk8 = jnp.concatenate([sym, ins.reshape(N, 4 * (T + 1))], axis=1)
     blk32 = jnp.concatenate(
         [jpath, spans, diffs[:, None], win,
@@ -573,6 +584,97 @@ _SEG = 2 * _WS
 _LEAD_SLACK = 8
 
 
+#: windowed-lane result row: 64 B nibble-packed interior sym (126 cols)
+#: + 254 B uint16-packed ins slots (127 boundaries) + 254 B int16 jpath
+_WROW = (64 + 2 * (_ADV + 1) + 2 * (_ADV + 1)) // 4  # int32 words (143)
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _nw_window_round(chars_pack, meta, W: int):
+    """Windowed realign dispatch: :func:`_nw_round_parts` at the fixed
+    window shape, plus ON-DEVICE interior extraction and packing.
+
+    The device tunnel's fetch bandwidth is the windowed round's
+    bottleneck (compute is ~7 ms for 8 k lanes; a full result block is
+    14 MB).  Only each lane's interior ``_ADV`` columns matter for the
+    stitch, so the kernel gathers them (offset ``loc0`` per lane) and
+    packs: sym 2 cols/byte, the 4 ins slots into one uint16, jpath as
+    int16 relative to the segment start — 572 B/lane instead of 1.76 kB.
+
+    ``meta`` is (4, N) int32 = [t_lens; seg_lens; centers_row0; loc0].
+    Returns (N, ``_WROW``) int32.
+    """
+    from .banded import _unpack2bit
+
+    N = meta.shape[1]
+    TP, RP = _WS // 4, _SEG // 4
+    tpl = _unpack2bit(chars_pack[:, :TP]).T
+    reads = _unpack2bit(chars_pack[:, TP : TP + RP])
+    steps = _unpack2bit(chars_pack[:, TP + RP :]).T.astype(jnp.int32)
+    t_lens, seg_lens, c0, loc0 = meta[0], meta[1], meta[2], meta[3]
+    centers = jnp.concatenate(
+        [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
+    sym, ins, jpath, _, _, _, _ = _nw_round_parts(
+        tpl, t_lens, reads, seg_lens, centers,
+        T=_WS, W=W, S=_WS + _SEG, NWIN=max(TB_nwin(_WS), 1),
+        lead_free=2 * _LEAD_SLACK)
+    idx_c = loc0[:, None] + jnp.arange(_ADV, dtype=jnp.int32)[None, :]
+    idx_b = loc0[:, None] + jnp.arange(_ADV + 1, dtype=jnp.int32)[None, :]
+    sym_i = jnp.take_along_axis(sym, idx_c, axis=1).astype(jnp.uint8)
+    ins_i = jnp.take_along_axis(ins, idx_b[:, :, None], axis=1).astype(jnp.uint16)
+    jp_i = jnp.take_along_axis(jpath, idx_b, axis=1).astype(jnp.int16)
+    sym_p = ((sym_i[:, 0::2] << 4) | sym_i[:, 1::2]).astype(jnp.uint8)  # 63 B
+    sym_p = jnp.concatenate(
+        [sym_p, jnp.zeros((N, 1), jnp.uint8)], axis=1)  # pad to 64
+    ins_p = (ins_i[:, :, 0] | (ins_i[:, :, 1] << 3)
+             | (ins_i[:, :, 2] << 6) | (ins_i[:, :, 3] << 9))  # (N, 127) u16
+    ins_b = jax.lax.bitcast_convert_type(ins_p, jnp.uint8).reshape(N, -1)
+    jp_b = jax.lax.bitcast_convert_type(jp_i, jnp.uint8).reshape(N, -1)
+    buf = jnp.concatenate([sym_p, ins_b, jp_b], axis=1)  # (N, 572)
+    return jax.lax.bitcast_convert_type(buf.reshape(N, _WROW, 4), jnp.int32)
+
+
+def _sharded_nw_window_round(mesh, W: int):
+    """:func:`_nw_window_round` under ``shard_map``: window lanes shard
+    on ``dp``, packed rows are allgathered (identical results)."""
+    key = (tuple(d.id for d in mesh.devices.flat), "win", W)
+    fn = _SHARDED_ROUND_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp", None), P(None, "dp")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def step(chars_pack, meta):
+        out = _nw_window_round(chars_pack, meta, W=W)
+        return jax.lax.all_gather(out, "dp", axis=0, tiled=True)
+
+    _SHARDED_ROUND_CACHE[key] = step
+    return step
+
+
+def _unpack_window_rows(packed: np.ndarray):
+    """Host inverse of :func:`_nw_window_round`'s packing: returns
+    (sym (m, 126) int8, ins (m, 127, 4) int8, jpath (m, 127) int64)."""
+    m = packed.shape[0]
+    buf = np.ascontiguousarray(packed).view(np.uint8).reshape(m, 4 * _WROW)
+    sym_p = buf[:, :63]
+    sym = np.empty((m, _ADV), np.int8)
+    sym[:, 0::2] = (sym_p >> 4).astype(np.int8)
+    sym[:, 1::2] = (sym_p & 0xF).astype(np.int8)
+    ins_p = buf[:, 64 : 64 + 2 * (_ADV + 1)].view(np.uint16)
+    ins = np.empty((m, _ADV + 1, 4), np.int8)
+    for s in range(4):
+        ins[:, :, s] = ((ins_p >> (3 * s)) & 7).astype(np.int8)
+    jp = buf[:, 64 + 2 * (_ADV + 1) :].view(np.int16).astype(np.int64)
+    return sym, ins, jp
+
+
 def _run_round_windowed(jobs, W: int, mesh=None):
     """Realign via independent path-anchored template windows.
 
@@ -593,7 +695,7 @@ def _run_round_windowed(jobs, W: int, mesh=None):
     error) undercount the QV signal slightly; votes are unaffected.
     """
     lane_tpl, lane_seg = [], []
-    lane_tlen, lane_seglen = [], []
+    lane_tlen, lane_seglen, lane_loc0 = [], [], []
     per_job = []  # (rr, kk, i0, kend, b0, b1, jlo_s, lane_offset)
     failures: list[tuple[int, int]] = []
     total = 0
@@ -644,11 +746,12 @@ def _run_round_windowed(jobs, W: int, mesh=None):
         ).astype(np.uint8))
         lane_tlen.append(t_len)
         lane_seglen.append(seg_len)
+        lane_loc0.append((i0 - b0)[kk])
         per_job.append((rr, kk, i0, kend, b0, b1, jl, total))
         total += L
 
     fetched = _dispatch_windowed_lanes(
-        lane_tpl, lane_tlen, lane_seg, lane_seglen, total, W, mesh)
+        lane_tpl, lane_tlen, lane_seg, lane_seglen, lane_loc0, total, W, mesh)
 
     outs = []
     for wi, (template, reads, jp) in enumerate(jobs):
@@ -665,29 +768,24 @@ def _run_round_windowed(jobs, W: int, mesh=None):
             sym_l, ins_l, jpath_l = (fetched[0][off : off + L],
                                      fetched[1][off : off + L],
                                      fetched[2][off : off + L])
-            width = kend - i0  # (nwin,)
-            loc0 = (i0 - b0)[kk]  # local row of the interior start
+            # lane arrays are interior-only (device-side extraction):
+            # column c of sym_l is global column i0 + c
             cols = i0[kk][:, None] + np.arange(_ADV)[None, :]
             cmask = cols < kend[kk][:, None]
-            src = loc0[:, None] + np.arange(_ADV)[None, :]
-            # interior columns: votes, path, per-column symbols
             ccols = np.minimum(cols, T - 1)  # safe pre-mask (cmask ⇒ < T)
             flat_cols = (rr[:, None] * T + ccols)[cmask]
             flat_bnds = (rr[:, None] * (T + 1) + ccols)[cmask]
-            sym_g.reshape(-1)[flat_cols] = np.take_along_axis(
-                sym_l, src, axis=1)[cmask]
-            jvals = np.take_along_axis(jpath_l.astype(np.int64), src, axis=1)
-            jvals = np.where(jvals >= 0, jvals + jl[:, None], -1)
-            jp_g.reshape(-1)[flat_bnds] = jvals[cmask]
-            ivals = np.take_along_axis(ins_l, src[:, :, None], axis=1)
-            ins_g.reshape(n * (T + 1), 4)[flat_bnds] = ivals[cmask]
-            # final boundary T comes from the last window's local t_len
+            sym_g.reshape(-1)[flat_cols] = sym_l[cmask]
+            jvals = np.where(jpath_l >= 0, jpath_l + jl[:, None], -1)
+            jp_g.reshape(-1)[flat_bnds] = jvals[:, :_ADV][cmask]
+            ins_g.reshape(n * (T + 1), 4)[flat_bnds] = ins_l[:, :_ADV][cmask]
+            # final boundary T comes from the last window's interior end
             last = kend[kk] == T
             if last.any():
-                tl = (b1 - b0)[kk][last]
-                jT = jpath_l[last, tl].astype(np.int64)
-                jp_g[rr[last], T] = np.where(jT >= 0, jT + jl[last], -1)
-                ins_g[rr[last], T] = ins_l[last, tl]
+                wid = (kend - i0)[kk][last]
+                lanes_last = np.flatnonzero(last)
+                jp_g[rr[last], T] = jvals[lanes_last, wid]
+                ins_g[rr[last], T] = ins_l[lanes_last, wid]
         # derived per-read statistics from the stitched columns
         tplv = template[None, :T]
         mism = (sym_g < 4) & (sym_g != tplv)
@@ -716,20 +814,27 @@ def _run_round_windowed(jobs, W: int, mesh=None):
     return outs, failures
 
 
+#: windowed chunk width: several in-flight chunks pipeline the tunnel's
+#: fetch bandwidth (one huge chunk fetches serially); each ~1.1 MB row
+#: block fetches in ~50 ms and they overlap
+_WCHUNK = 2048
+
+
 def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
-                             total: int, W: int, mesh=None):
-    """Dispatch all window lanes in ladder-bucketed chunks of the ONE
-    windowed shape; returns stacked (sym, ins, jpath) host arrays."""
-    NWIN = max(TB_nwin(_WS), 1)
-    sym_all = np.zeros((total, _WS), np.int8)
-    ins_all = np.zeros((total, _WS + 1, 4), np.int8)
-    jp_all = np.full((total, _WS + 1), -1, np.int64)
+                             lane_loc0, total: int, W: int, mesh=None):
+    """Dispatch all window lanes in fixed-shape chunks with overlapped
+    fetches; returns stacked interior-only (sym, ins, jpath) host arrays
+    (see :func:`_nw_window_round` for the packed row layout)."""
+    sym_all = np.full((total, _ADV), 5, np.int8)
+    ins_all = np.zeros((total, _ADV + 1, 4), np.int8)
+    jp_all = np.full((total, _ADV + 1), -1, np.int64)
     if total == 0:
         return sym_all, ins_all, jp_all
     tpl = np.concatenate(lane_tpl)
     seg = np.concatenate(lane_seg)
     tlen = np.concatenate(lane_tlen).astype(np.int64)
     slen = np.concatenate(lane_seglen).astype(np.int64)
+    loc0 = np.concatenate(lane_loc0).astype(np.int32)
     # proportional band centers per lane, step-clamped
     rows = np.arange(_WS + 1, dtype=np.int64)
     cen = (np.minimum(rows[:, None], tlen[None, :]) * slen[None, :]
@@ -739,46 +844,45 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
     from .banded import _pack2bit
 
     def dispatch(c0, c1):
-        Nc = _n_bucket_lanes(c1 - c0, _WS, W)
+        m = c1 - c0
+        Nc = next((b for b in _N_LADDER if m <= b <= _WCHUNK), _WCHUNK)
         tpl_c = np.zeros((Nc, _WS), np.uint8)
         seg_c = np.zeros((Nc, _SEG), np.uint8)
-        tl = np.ones(Nc, np.int32)
-        sl = np.zeros(Nc, np.int32)
-        cn = np.zeros((_WS + 1, Nc), np.int32)
-        m = c1 - c0
+        meta = np.zeros((4, Nc), np.int32)
+        meta[0] = 1
         tpl_c[:m] = tpl[c0:c1]
         seg_c[:m] = seg[c0:c1]
-        tl[:m] = tlen[c0:c1]
-        sl[:m] = slen[c0:c1]
-        cn[:, :m] = cen[:, c0:c1]
-        steps = np.clip(np.diff(cn, axis=0), 0, 2).astype(np.uint8).T
+        meta[0, :m] = tlen[c0:c1]
+        meta[1, :m] = slen[c0:c1]
+        meta[2, :m] = cen[0, c0:c1]
+        meta[3, :m] = loc0[c0:c1]
+        steps = np.zeros((Nc, _WS), np.uint8)
+        steps[:m] = np.clip(np.diff(cen[:, c0:c1], axis=0), 0, 2).T
         chars_pack = np.concatenate(
             [_pack2bit(tpl_c), _pack2bit(seg_c), _pack2bit(steps)], axis=1)
-        meta = np.concatenate([tl, sl, cn[0]])
         if mesh is not None and mesh.size > 1:
-            return _sharded_nw_round(mesh, _WS, _SEG, W, _WS + _SEG, NWIN,
-                                     lead_free=2 * _LEAD_SLACK)(
-                jnp.asarray(chars_pack), jnp.asarray(meta.reshape(3, Nc)))
-        return _nw_round_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
-                                T=_WS, RL=_SEG, W=W, S=_WS + _SEG, NWIN=NWIN,
-                                lead_free=2 * _LEAD_SLACK)
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.dp import stage_global
+
+            return _sharded_nw_window_round(mesh, W)(
+                stage_global(mesh, P("dp", None), chars_pack),
+                stage_global(mesh, P(None, "dp"), meta))
+        return _nw_window_round(jnp.asarray(chars_pack), jnp.asarray(meta),
+                                W=W)
 
     from concurrent.futures import ThreadPoolExecutor
 
-    max_n = _n_max(_WS, W)
-    plan = [(c0, min(c0 + max_n, total)) for c0 in range(0, total, max_n)]
+    plan = [(c0, min(c0 + _WCHUNK, total)) for c0 in range(0, total, _WCHUNK)]
     with ThreadPoolExecutor(max_workers=4) as ex:
         handles = list(ex.map(lambda p: dispatch(*p), plan))
         arrs = list(ex.map(np.asarray, handles))
-    n8 = (5 * _WS + 4) // 4
     for (c0, c1), packed in zip(plan, arrs):
-        packed = np.ascontiguousarray(packed)
         m = c1 - c0
-        blk8 = packed[:, :n8].view(np.uint8).reshape(len(packed), 5 * _WS + 4)
-        blk32 = packed[:, n8:]
-        sym_all[c0:c1] = blk8[:m, :_WS].view(np.int8)
-        ins_all[c0:c1] = blk8[:m, _WS:].view(np.int8).reshape(m, _WS + 1, 4)
-        jp_all[c0:c1] = blk32[:m, : _WS + 1]
+        sym, ins, jp = _unpack_window_rows(packed[:m])
+        sym_all[c0:c1] = sym
+        ins_all[c0:c1] = ins
+        jp_all[c0:c1] = jp
     return sym_all, ins_all, jp_all
 
 
@@ -818,8 +922,13 @@ def _dispatch_chunk(lanes, chunk, TB, W, centers_for, mesh=None):
         [_pack2bit(tpl), _pack2bit(reads_arr), _pack2bit(steps)], axis=1)
     meta = np.concatenate([t_lens, read_lens, centers[0].astype(np.int32)])
     if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.dp import stage_global
+
         return _sharded_nw_round(mesh, TB, RLB, W, TB + RLB, NWIN)(
-            jnp.asarray(chars_pack), jnp.asarray(meta.reshape(3, N)))
+            stage_global(mesh, P("dp", None), chars_pack),
+            stage_global(mesh, P(None, "dp"), meta.reshape(3, N)))
     return _nw_round_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
                             T=TB, RL=RLB, W=W, S=TB + RLB, NWIN=NWIN)
 
@@ -1270,8 +1379,13 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
         meta[:n_chunk, 1:] = SLEN[sl]
         meta[half_v : half_v + n_chunk, 1:] = SLEN[sl]
         if mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.dp import stage_global
+
             out = _sharded_nw_dist(mesh, TW, TWp, RW, NB)(
-                jnp.asarray(_pack2bit(buf)), jnp.asarray(meta))
+                stage_global(mesh, P("dp", None), _pack2bit(buf)),
+                stage_global(mesh, P("dp", None), meta))
         else:
             out = _nw_dist_full_packed(
                 jnp.asarray(_pack2bit(buf)), jnp.asarray(meta),

@@ -28,7 +28,31 @@ from jax.sharding import Mesh
 
 from ..utils.log import log_json
 
-__all__ = ["make_mesh", "default_mesh", "init_distributed"]
+__all__ = ["make_mesh", "default_mesh", "init_distributed", "stage_global"]
+
+
+def stage_global(mesh, spec, arr):
+    """Stage a host array for a ``shard_map`` dispatch over ``mesh``.
+
+    Single-process (all mesh devices addressable): a plain device put —
+    jit moves it to the right sharding.  Multi-process (one process per
+    host, ``init_distributed``): every process holds the SAME full
+    array (the host pipeline is deterministic), so the global array is
+    assembled from per-process local shards via
+    ``jax.make_array_from_callback`` — each host uploads only its own
+    rows, and the allgathered outputs come back fully replicated (the
+    ICI/DCN collective replaces the reference's shared-filesystem merge,
+    SURVEY §2.4 communication-backend row).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    arr = np.asarray(arr)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sh, lambda idx: np.ascontiguousarray(arr[idx]))
 
 _distributed_initialized = False
 
