@@ -35,9 +35,10 @@ BASELINE_READS_PER_S = 22400 / 420.0
 
 
 def main():
-    from dentist_tpu.utils.cache import enable_compile_cache
+    from dentist_tpu.utils.cache import enable_compile_cache, warm_device
 
     enable_compile_cache()
+    warm_device()
 
     from dentist_tpu.models.mask import coverage_mask, pack_chain_intervals
     from dentist_tpu.models.pileups import ChainCtx, CollectConfig, collect_pile_ups

@@ -1112,9 +1112,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    from .utils.cache import enable_compile_cache
+    from .utils.cache import enable_compile_cache, warm_device
 
     enable_compile_cache()
+    warm_device()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and not argv[0].startswith("-"):
         argv[0] = resolve_command(argv[0])

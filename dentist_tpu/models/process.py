@@ -102,10 +102,21 @@ def _common_trace_point(
     return None
 
 
-def _locate_anchor(cons: np.ndarray, anchor: np.ndarray, max_edits: int):
-    """Find `anchor` in `cons`; returns (start, end, edits) or None.
+#: sentinel: the anchor matches at more than one distinct consensus
+#: placement — the reference requires a UNIQUE proper overlap per flank
+#: (``getInsertionAlignment``, ``processPileUps/package.d:699-769``) and
+#: fails the pile-up rather than risk splicing at the wrong repeat copy
+AMBIGUOUS = "ambiguous"
 
-    Exact rolling match first; edit-tolerant scan as fallback.
+
+def _locate_anchor(cons: np.ndarray, anchor: np.ndarray, max_edits: int):
+    """Find `anchor` in `cons`; returns (start, end, edits), ``AMBIGUOUS``
+    if more than one distinct placement qualifies, or None.
+
+    Exact rolling match first; edit-tolerant scan as fallback.  Two
+    placements are distinct when their starts differ by more than half
+    the anchor length (heavily-overlapping hits of a periodic anchor are
+    one alignment region, not an ambiguity).
     """
     la, lc = len(anchor), len(cons)
     if la == 0 or lc < la // 2:
@@ -115,41 +126,54 @@ def _locate_anchor(cons: np.ndarray, anchor: np.ndarray, max_edits: int):
         windows = np.lib.stride_tricks.sliding_window_view(cons, la)
         hits = np.flatnonzero((windows == anchor).all(axis=1))
         if len(hits):
+            if _n_placements(hits, la) > 1:
+                return AMBIGUOUS
             s = int(hits[0])
             return s, s + la, 0
     # fallback: banded NW of anchor against cons, free-shift on cons side
-    INF = 1 << 20
     prev = np.zeros(lc + 1, dtype=np.int64)  # free leading cons gap
-    starts = np.arange(lc + 1)
-    prev_start = starts.copy()
+    prev_start = np.arange(lc + 1)
+    ar = np.arange(lc + 1)
     for i in range(1, la + 1):
-        cur = np.full(lc + 1, INF, dtype=np.int64)
-        cur_start = np.zeros(lc + 1, dtype=np.int64)
         diag = prev[:-1] + (cons != anchor[i - 1])
         up = prev[1:] + 1
         take_diag = diag <= up
+        cur = np.empty(lc + 1, dtype=np.int64)
+        cur_start = np.empty(lc + 1, dtype=np.int64)
         cur[1:] = np.where(take_diag, diag, up)
         cur_start[1:] = np.where(take_diag, prev_start[:-1], prev_start[1:])
         cur[0] = i
         cur_start[0] = 0
-        # left moves: prefix min
-        run = cur[0]
-        run_start = cur_start[0]
-        for j in range(1, lc + 1):
-            if run + 1 < cur[j]:
-                cur[j] = run + 1
-                cur_start[j] = run_start
-            if cur[j] <= run + 1:
-                run = cur[j]
-                run_start = cur_start[j]
-            else:
-                run += 1
-        prev, prev_start = cur, cur_start
+        # left moves (gap in anchor) are a min-plus prefix scan:
+        # fin[j] = min_{j'<=j} cur[j'] + (j-j'); source follows the
+        # latest attaining j' (matching the former serial loop's ties)
+        t = cur - ar
+        m = np.minimum.accumulate(t)
+        src = np.maximum.accumulate(np.where(t == m, ar, 0))
+        prev = m + ar
+        prev_start = cur_start[src]
     j_end = int(np.argmin(prev))
     edits = int(prev[j_end])
     if edits > max_edits:
         return None
-    return int(prev_start[j_end]), j_end, edits
+    s0 = int(prev_start[j_end])
+    # uniqueness: other qualifying placements far from the best one mean
+    # the flank could splice at two sites — reject (reference rejects
+    # non-unique proper overlaps, ``package.d:699-769``)
+    starts_q = np.sort(prev_start[prev <= max_edits])
+    if len(starts_q) and _n_placements(starts_q, la) > 1:
+        return AMBIGUOUS
+    return s0, j_end, edits
+
+
+def _n_placements(sorted_starts: np.ndarray, la: int) -> int:
+    """Number of distinct anchor placements among sorted start positions:
+    chains of starts each within ``la``/2 of the previous (overlapping
+    hits of a periodic anchor, or edit-noise around one site) form ONE
+    placement; a jump beyond that opens a new one."""
+    if len(sorted_starts) <= 1:
+        return len(sorted_starts)
+    return 1 + int((np.diff(sorted_starts) > la // 2).sum())
 
 
 @dataclass
@@ -299,6 +323,12 @@ def _splice(prep: _Prepared, cons, contigs: SeqStore,
         else:
             anchor = cseq[:probe] if part == ContigPart.BEGIN else reverse_complement(cseq[-probe:])
         loc = _locate_anchor(seq, anchor, cfg.anchor_max_edits)
+        if loc is AMBIGUOUS:
+            # the contig edge recurs inside the consensus (repeat copy):
+            # splicing at either site could be wrong — skip, never guess
+            log_json("warn", event="pileUpSkipped",
+                     reason="ambiguousFlankAnchor", node=list(node))
+            return None
         if loc is None:
             log_json("warn", event="pileUpSkipped", reason="flankAnchorNotFound",
                      node=list(node))

@@ -22,7 +22,11 @@ from .utils.log import log_json
 __all__ = ["SuffixArrayIndex", "pack_2bit", "unpack_2bit", "native_available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libdentistnative.so")
+#: ``DENTIST_TPU_NATIVE`` points at a pre-built library (container
+#: images build it once at image-build time); otherwise the repo-local
+#: library is used, auto-built via ``make`` on first use
+_LIB_PATH = os.environ.get(
+    "DENTIST_TPU_NATIVE", os.path.join(_NATIVE_DIR, "libdentistnative.so"))
 _lib = None
 _tried = False
 
@@ -32,13 +36,14 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    try:  # make is a no-op when the library is fresh
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
-    except Exception as exc:  # no compiler / no make: fall back to numpy
-        log_json("warn", event="nativeBuildFailed", error=str(exc))
-        if not os.path.exists(_LIB_PATH):
-            return None
+    if "DENTIST_TPU_NATIVE" not in os.environ:
+        try:  # make is a no-op when the library is fresh
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as exc:  # no compiler / no make: fall back to numpy
+            log_json("warn", event="nativeBuildFailed", error=str(exc))
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as exc:

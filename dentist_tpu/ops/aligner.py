@@ -152,7 +152,10 @@ class Aligner:
         #: and the main thread is the clustering bottleneck
         from concurrent.futures import ThreadPoolExecutor
 
-        self._dispatch_pool = ThreadPoolExecutor(max_workers=2)
+        from ..parallel.dp import dispatch_workers
+
+        self._dispatch_pool = ThreadPoolExecutor(
+            max_workers=dispatch_workers(2))
 
     # ------------------------------------------------------------------
     def _target_seq(self, a_id: int) -> np.ndarray:

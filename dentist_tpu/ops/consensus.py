@@ -501,12 +501,18 @@ def _run_round_full(jobs: list[tuple[np.ndarray, list[np.ndarray], np.ndarray | 
         for c0 in range(0, len(lidx), max_n):
             chunk = lidx[c0 : c0 + max_n]
             plan.append((chunk, TB))
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    from ..parallel.dp import dispatch_workers
+
+    with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
+        # multi-process meshes serialize launches (dispatch_workers=1):
+        # every process must enqueue the collectives in the same order
         handles = list(ex.map(
             lambda t: _dispatch_chunk(lanes, t[0], t[1], W, centers_for,
                                       mesh=mesh), plan))
+    with ThreadPoolExecutor(max_workers=4) as ex:
         # fetch all chunks concurrently: every result fetch pays a full
         # device-tunnel round trip, and they pipeline when overlapped
+        # (fetches read local shards only — no collective, any order)
         fetched = list(ex.map(np.asarray, handles))
     retries = []
     for (chunk, TB), arr in zip(plan, fetched):
@@ -873,9 +879,13 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..parallel.dp import dispatch_workers
+
     plan = [(c0, min(c0 + _WCHUNK, total)) for c0 in range(0, total, _WCHUNK)]
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
+        # launches serialize on multi-process meshes (collective order)
         handles = list(ex.map(lambda p: dispatch(*p), plan))
+    with ThreadPoolExecutor(max_workers=4) as ex:
         arrs = list(ex.map(np.asarray, handles))
     for (c0, c1), packed in zip(plan, arrs):
         m = c1 - c0

@@ -28,7 +28,20 @@ from jax.sharding import Mesh
 
 from ..utils.log import log_json
 
-__all__ = ["make_mesh", "default_mesh", "init_distributed", "stage_global"]
+__all__ = ["make_mesh", "default_mesh", "init_distributed", "stage_global",
+           "dispatch_workers"]
+
+
+def dispatch_workers(default: int) -> int:
+    """Thread count for pools that LAUNCH device programs.
+
+    A multi-process mesh requires every process to enqueue collectives
+    in the same order — concurrent launch threads would race and corrupt
+    the gloo/ICI streams (observed as ``op.preamble.length`` mismatches)
+    — so launches serialize through one FIFO worker.  Single-process
+    meshes keep ``default`` workers to overlap host staging with device
+    compute."""
+    return 1 if jax.process_count() > 1 else default
 
 
 def stage_global(mesh, spec, arr):
@@ -79,10 +92,14 @@ def init_distributed() -> bool:
         return False
     n = int(os.environ.get("DENTIST_TPU_NUM_PROCESSES", "0")) or None
     pid = os.environ.get("DENTIST_TPU_PROCESS_ID")
+    # generous heartbeat: co-located test processes (and loaded CI hosts)
+    # stall on compile bursts long enough to miss the 100 s default
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=n,
         process_id=int(pid) if pid is not None else None,
+        heartbeat_timeout_seconds=int(
+            os.environ.get("DENTIST_TPU_HEARTBEAT_TIMEOUT", "300")),
     )
     _distributed_initialized = True
     log_json("info", event="distributedInit", coordinator=coord,

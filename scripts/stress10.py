@@ -16,10 +16,11 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    from dentist_tpu.utils.cache import enable_compile_cache
+    from dentist_tpu.utils.cache import enable_compile_cache, warm_device
     from dentist_tpu.utils.log import set_log_level
 
     enable_compile_cache()
+    warm_device()
     if "--timings" in sys.argv:
         set_log_level("diagnostic")
 

@@ -25,7 +25,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_mapper_and_consensus():
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
