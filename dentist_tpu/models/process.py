@@ -59,6 +59,11 @@ class ProcessConfig:
     #: consensus retries over QV-ranked reference-read candidates on
     #: splice failure (``processPileUps/package.d:600-619``)
     max_consensus_retries: int = 2
+    #: error-profile tilt for cost-tied consensus polish edits:
+    #: ``"delete"`` = insertion-biased reads (PacBio CLR, the default),
+    #: ``"insert"`` = deletion-biased (older ONT), ``"none"`` = no tilt.
+    #: daccord derives this from its error profile (``dazzler.d:4324``).
+    consensus_tie_policy: str = "delete"
 
 
 # ----------------------------------------------------------------------
@@ -491,6 +496,7 @@ def process_pile_ups(
                 [prepared[k].cropped for k in pending],
                 rounds=cfg.consensus_rounds, W=cfg.band_width,
                 template_idxs=[tmpl_idx[k] for k in pending], mesh=mesh,
+                tie_policy=cfg.consensus_tie_policy,
             )
         except Exception as exc:
             # containment fallback: batch failed — run pile-ups one by one.
@@ -504,7 +510,8 @@ def process_pile_ups(
                 try:
                     conss.append(consensus_batch(
                         [prepared[k].cropped], rounds=cfg.consensus_rounds,
-                        W=cfg.band_width, template_idxs=[tmpl_idx[k]])[0])
+                        W=cfg.band_width, template_idxs=[tmpl_idx[k]],
+                        tie_policy=cfg.consensus_tie_policy)[0])
                 except Exception as exc2:
                     log_json("warn", event="pileUpSkipped", reason="exception",
                              error=str(exc2))

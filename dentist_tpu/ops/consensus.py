@@ -1463,7 +1463,8 @@ def _candidates_from_votes(col_votes, ins_votes, cov, min_votes_frac=0.08,
     return candidates
 
 
-def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None):
+def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
+                  tie_policy: str = "delete"):
     """Hill-climb on total edit distance to all reads, batched.
 
     Candidate edits (single-base insertions and deletions) come from the
@@ -1473,7 +1474,16 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None):
     neighboring columns (daccord's de-Bruijn window consensus solves the
     same problem).  All pile-ups still improving share each round's
     dispatches.
+
+    ``tie_policy`` decides edits whose exact objective TIES (gain 0):
+    ``"delete"`` accepts deletions (insertion-biased error profiles:
+    PacBio CLR ≈ 55 % ins / 25 % del — the default and what the
+    simulator reproduces), ``"insert"`` accepts insertions
+    (deletion-biased profiles, e.g. older ONT chemistries), ``"none"``
+    rejects all ties.  daccord derives the same tilt from its measured
+    error profile (``--eprofonly`` pre-pass, ``dazzler.d:4324``).
     """
+    tie_kind = {"delete": 0, "insert": 1}.get(tie_policy)
     HALF = 16
     active = [p for p in range(len(states))
               if len(read_sets[p]) > 1 and len(states[p]["template"])]
@@ -1520,14 +1530,12 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None):
             chosen = []
             taken_pos: list[int] = []
             for g, (pos, kind, base) in mine:
-                # Deletions are accepted at cost TIES (g == 0): long-read
-                # error mixes are insertion-biased (CLR ≈ 55% ins / 25%
-                # del — the simulator reproduces this), so when the exact
-                # objective cannot decide between "extra base is real"
-                # and "extra base is k coinciding read insertions", the
-                # shorter template is the likelier explanation.  daccord
-                # reaches the same tilt through its error profile.
-                if g < 0 or (g == 0 and kind != 0):
+                # Ties (g == 0) fall to the error-profile tilt: when the
+                # exact objective cannot decide between "extra base is
+                # real" and "extra base is k coinciding read insertions",
+                # the profile's dominant error kind picks the likelier
+                # explanation (see tie_policy in the docstring).
+                if g < 0 or (g == 0 and kind != tie_kind):
                     continue
                 if all(abs(pos - q) > 2 * HALF for q in taken_pos):
                     chosen.append((pos, kind, base))
@@ -1598,7 +1606,8 @@ def _trivial_result(reads: list[np.ndarray]) -> ConsensusResult | None:
 
 def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
                     W: int = 128, template_idxs: list[int | None] | None = None,
-                    polish: bool = True, mesh=None) -> list[ConsensusResult]:
+                    polish: bool = True, mesh=None,
+                    tie_policy: str = "delete") -> list[ConsensusResult]:
     """Compute consensi for MANY pile-ups; dispatches are shared.
 
     Each realign round batches the lanes of every still-active pile-up
@@ -1662,7 +1671,8 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
 
     if polish:
         _polish_batch([states[p] for p in live],
-                      [read_sets[p] for p in live], W, mesh=mesh)
+                      [read_sets[p] for p in live], W, mesh=mesh,
+                      tie_policy=tie_policy)
 
     # refresh stats for pile-ups whose template changed after their last round
     stale = [p for p in live if states[p]["stats_stale"]
@@ -1690,11 +1700,16 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
 
 def consensus(reads: list[np.ndarray], rounds: int = 3, W: int = 128,
               template_idx: int | None = None, polish: bool = True,
-              mesh=None) -> ConsensusResult:
-    """Compute one pile-up's consensus (see :func:`consensus_batch`)."""
+              mesh=None, tie_policy: str = "delete") -> ConsensusResult:
+    """Compute one pile-up's consensus (see :func:`consensus_batch`).
+
+    ``tie_policy`` selects the error-profile tilt applied to
+    cost-tied polish edits — ``"delete"`` (insertion-biased reads, the
+    CLR default), ``"insert"`` (deletion-biased), or ``"none"``.
+    """
     return consensus_batch([reads], rounds=rounds, W=W,
                            template_idxs=[template_idx], polish=polish,
-                           mesh=mesh)[0]
+                           mesh=mesh, tie_policy=tie_policy)[0]
 
 
 def rank_reference_reads(win_diffs: np.ndarray, spans: np.ndarray,

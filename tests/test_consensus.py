@@ -77,6 +77,20 @@ def test_consensus_recovers_truth_low_coverage():
     assert len(ops) <= 10, f"too many errors at 8x: {ops}"
 
 
+def test_consensus_tie_policy_knob():
+    """The error-profile tie tilt is configurable (ADVICE r2): all three
+    policies run; default == explicit "delete" (same code path)."""
+    truth = random_genome(700, seed=61)
+    reads = noisy_reads(truth, 20, 0.13, seed=62)
+    default = consensus(reads)
+    explicit = consensus(reads, tie_policy="delete")
+    assert np.array_equal(default.sequence, explicit.sequence)
+    for policy in ("insert", "none"):
+        res = consensus(reads, tie_policy=policy)
+        # ties are rare: any policy stays within a few edits of truth
+        assert len(edit_ops(truth, res.sequence)) <= 4, policy
+
+
 def test_consensus_exact_across_seeds():
     """20x/13% error must give byte-exact interior consensus (Q40+)."""
     for seed in (100, 101, 102):
