@@ -175,29 +175,60 @@ class Aligner:
         a_seq = self._target_seq(cand.a_seq)
         a_len, b_len = len(a_seq), len(b_codes)
         ap, bp = cand.a_pos, cand.b_pos
-        # unique, increasing a positions for interpolation (ap is sorted
-        # by construction — run-boundary mask instead of np.unique's sort)
-        first = np.empty(len(ap), dtype=bool)
-        first[0] = True
-        np.not_equal(ap[1:], ap[:-1], out=first[1:])
-        ap_u, bp_u = ap[first], bp[first]
+        ap_first, ap_last = int(ap[0]), int(ap[-1])
+        # first occurrence of the last distinct a position (interpolation
+        # nodes are first-occurrence (a, b) pairs; ap is sorted)
+        j_last = int(np.searchsorted(ap, ap_last, side="left"))
+        bp_first, bp_last = int(bp[0]), int(bp[j_last])
 
-        # anchor: multiple of TRACE_SPACING near cluster middle with valid b0
-        a_mid = (ap_u[0] + ap_u[-1]) // 2
-        candidates_a0 = TRACE_SPACING * np.arange(
-            ap_u[0] // TRACE_SPACING, ap_u[-1] // TRACE_SPACING + 2
-        )
-        candidates_a0 = candidates_a0[(candidates_a0 >= 0) & (candidates_a0 <= a_len)]
-        if len(candidates_a0) == 0:
+        # anchor: the multiple of TRACE_SPACING nearest the cluster middle
+        # whose seed-interpolated b is valid.  Probing anchors outward from
+        # the middle (nearer first; ties toward the smaller a0) finds the
+        # same anchor as scoring every multiple in the cluster span, but
+        # touches O(1) of them in the common all-valid case.
+        a_mid = (ap_first + ap_last) // 2
+        k_lo = max(ap_first // TRACE_SPACING, 0)
+        k_hi = min(ap_last // TRACE_SPACING + 1, a_len // TRACE_SPACING)
+        if k_lo > k_hi:
             return
-        b_interp = _interp_slope1(candidates_a0, ap_u, bp_u)
-        ok = (b_interp >= 0) & (b_interp <= b_len)
-        if not ok.any():
+
+        def b_at(a0: int) -> int:
+            if a0 <= ap_first:  # slope-1 (diagonal) extrapolation
+                return bp_first - (ap_first - a0)
+            if a0 >= ap_last:
+                return bp_last + (a0 - ap_last)
+            i = int(np.searchsorted(ap, a0, side="left"))
+            x1 = int(ap[i])
+            if x1 == a0:
+                return int(bp[i])
+            x0 = int(ap[i - 1])
+            j = int(np.searchsorted(ap, x0, side="left"))
+            y0, y1 = int(bp[j]), int(bp[i])
+            # float op order mirrors np.interp so truncation matches
+            return int((y1 - y0) / (x1 - x0) * (a0 - x0) + y0)
+
+        k_mid = min(max(int(round(a_mid / TRACE_SPACING)), k_lo), k_hi)
+        a0 = b0 = None
+        last_step = k_hi - k_lo  # probe every ring until one past a hit
+        for step in range(k_hi - k_lo + 1):
+            if step > last_step:
+                break
+            for k in ((k_mid - step, k_mid + step) if step else (k_mid,)):
+                if not k_lo <= k <= k_hi:
+                    continue
+                cand_a0 = k * TRACE_SPACING
+                cand_b0 = b_at(cand_a0)
+                if 0 <= cand_b0 <= b_len:
+                    if (
+                        a0 is None
+                        or abs(cand_a0 - a_mid) < abs(a0 - a_mid)
+                        or (abs(cand_a0 - a_mid) == abs(a0 - a_mid) and cand_a0 < a0)
+                    ):
+                        a0, b0 = cand_a0, cand_b0
+                    # adjacent ring may tie in |a0 − a_mid|; farther ones not
+                    last_step = min(last_step, step + 1)
+        if a0 is None:
             return
-        candidates_a0, b_interp = candidates_a0[ok], b_interp[ok]
-        pick = int(np.argmin(np.abs(candidates_a0 - a_mid)))
-        a0 = int(candidates_a0[pick])
-        b0 = int(b_interp[pick])
 
         self_unit = 0
         if self_tandem:
@@ -211,8 +242,8 @@ class Aligner:
         )
 
         # seed-estimated slope (b advance per a advance)
-        if ap_u[-1] > ap_u[0]:
-            slope = (bp_u[-1] - bp_u[0]) / (ap_u[-1] - ap_u[0])
+        if ap_last > ap_first:
+            slope = (bp_last - bp_first) / (ap_last - ap_first)
         else:
             slope = 1.0
         slope = float(np.clip(slope, _SLOPE_MIN, _SLOPE_MAX))
