@@ -1,24 +1,32 @@
-"""Benchmark: alignment + consensus throughput on one chip.
+"""Benchmark: end-to-end pipeline at reference-example scale on one chip.
 
-Measures the framework's headline metric (BASELINE.json: "reads
-aligned/s/chip"): full mapping — threaded k-mer seeding, diagonal
-clustering, batched banded trace-point extension on device, chaining,
-damapper-style chain selection — of simulated 13%-error long reads
-(25 kb ± 12.5 kb, the reference example's distribution) against a
-synthetic gapped assembly, plus the batched pile-up consensus stage
-(pile-ups/s).
+Three phases:
+
+A. **Mapping throughput** (3 Mb scenario, best-of-2): threaded k-mer
+   seeding, diagonal clustering, batched banded trace-point extension on
+   device, chaining, damapper-style chain selection.
+B. **Consensus throughput** (same scenario, best-of-2): the batched
+   pile-up process stage (pile-ups/s).
+C. **End-to-end pipeline at the reference example's scale** — the
+   headline.  A 28 Mb assembly with 147 gaps (the shape of
+   `/root/reference/example/data/gaps.bed`: 147 gap rows on a
+   27,896,386 bp scaffold; the example FASTA itself is not vendored, so
+   the scenario is self-hosted with the same genome size, gap count,
+   read distribution, and interspersed repeats), 20× simulated reads at
+   25 kb ± 12.5 kb / 13 % error (`example/Makefile:13`), run through the
+   FULL pipeline: dust/tandem masks, masked self-alignment, repeat
+   masking, masked read mapping, mask homogenization, collect, batched
+   consensus, preliminary output, the validation re-mapping pass, and
+   purged final output.
 
 **Baseline anchor (cited).** The reference publishes exactly one
 wall-clock number: the bundled example workflow runs end-to-end in
 ≈ 7 min (420 s) on an Intel i5-5200U (`/root/reference/README.md`,
-"Local Execution").  The example dataset is a 27.9 Mb assembly
-(`example/data/gaps.bed` spans the single scaffold to 27,896,386 bp)
-with simulated reads at 20× coverage, mean 25 kb
-(`example/Makefile:13`: -m25000 -s12500 -e.13 -c20) ⇒ ≈ 22,400 reads.
-CPU DENTIST therefore processes ≈ 22400/420 ≈ **53.3 reads/s**
-end-to-end on its baseline machine.  ``vs_baseline`` is measured
-alignment reads/s over that anchor — conservative for the anchor
-(end-to-end includes more than alignment) and honest about its origin.
+"Local Execution") over ≈ 22,400 reads ⇒ ≈ 53.3 reads/s end-to-end.
+The headline ``vs_baseline`` is that 420 s over phase C's measured
+end-to-end wall-clock on the same-scale scenario — wall-clock against
+wall-clock, the comparison BASELINE.md actually targets ("≥ 20×
+wall-clock vs CPU DENTIST").
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -79,10 +87,12 @@ def main():
     # 11.6s across runs); take the best of two trials — standard
     # min-over-trials practice for latency-noise-dominated benchmarks.
     align_s = float("inf")
+    align_trials = []
     for _trial in range(2):
         t0 = time.time()
         las, chains = map_reads(c, o, l, reads, config=MapperConfig())
         trial_s = time.time() - t0
+        align_trials.append(round(trial_s, 1))
         print(f"  align trial: {trial_s:.1f}s", file=sys.stderr)
         align_s = min(align_s, trial_s)
     n_reads = len(reads)
@@ -106,11 +116,13 @@ def main():
     # best-of-2 like phase A: trial 0 may pay compiles/cache loads for
     # consensus dispatch shapes the warmup pass does not reach
     process_s = float("inf")
+    process_trials = []
     for _trial in range(2):
         t0 = time.time()
         insertions = process_pile_ups(pile_ups, ctx, contigs, reads_store,
                                       repeat_mask, ProcessConfig())
         trial_s = time.time() - t0
+        process_trials.append(round(trial_s, 1))
         print(f"  process trial: {trial_s:.1f}s", file=sys.stderr)
         process_s = min(process_s, trial_s)
     pileups_per_s = len(pile_ups) / max(process_s, 1e-9)
@@ -120,18 +132,70 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- phase C: end-to-end pipeline at the reference example's scale
+    # (28 Mb / 147 gaps / 20× 25kb±12.5kb reads at 13% error — the shape
+    # of /root/reference/example: gaps.bed has 147 rows on a 27,896,386 bp
+    # scaffold; example/Makefile:13 sets the read model).  One trial: the
+    # number that matters is a fresh full-pipeline wall-clock, phases A/B
+    # having absorbed the warmup the way `collect` warms `process` in a
+    # real run.
+    from dentist_tpu.pipeline import PipelineConfig, close_gaps
+    from dentist_tpu.sim.genome import insert_repeats
+
+    e2e_size = 28_000_000
+    print(f"generating {e2e_size/1e6:.0f} Mb / 147-gap example-scale "
+          f"scenario + {coverage:.0f}x reads...", file=sys.stderr)
+    t0 = time.time()
+    g = random_genome(e2e_size, seed=321)
+    g = insert_repeats(g, n_copies=4 * (e2e_size // 1_000_000),
+                       repeat_length=3000, seed=322)
+    e_truth = [g]
+    e_gaps = random_gaps(e_truth, n_gaps=147, min_size=100, max_size=1000,
+                         margin=25_000, seed=323)
+    e_asm = build_partial_assembly(e_truth, e_gaps)
+    e_records = [FastaRecord(f"scaf{i}", s) for i, s in enumerate(e_asm)]
+    e_contigs, e_structure = split_scaffolds(e_records)
+    e_reads, _ = simulate_reads(e_truth, coverage=coverage, mean_length=25000,
+                                sd_length=12500, error=0.13, seed=324)
+    e_store = SeqStore(np.concatenate(e_reads),
+                       np.array([len(r) for r in e_reads]),
+                       [f"read{i+1}" for i in range(len(e_reads))])
+    print(f"  datagen {time.time()-t0:.0f}s: {len(e_reads)} reads "
+          f"({sum(len(r) for r in e_reads)/1e6:.0f} Mb)", file=sys.stderr)
+    t0 = time.time()
+    result = close_gaps(e_contigs, e_structure, e_store, e_reads,
+                        PipelineConfig(read_coverage=coverage))
+    pipeline_s = time.time() - t0
+    e2e_reads_per_s = len(e_reads) / pipeline_s
+    e2e_speedup = 420.0 / pipeline_s
+    print(f"end-to-end pipeline: {pipeline_s:.1f}s for {len(e_reads)} reads "
+          f"/ 147 gaps ({result.n_closed_gaps} closed) = "
+          f"{e2e_reads_per_s:.1f} reads/s end-to-end, {e2e_speedup:.1f}x the "
+          f"reference's 420 s example wall-clock", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "reads_aligned_per_second_per_chip",
-        "value": round(reads_per_s, 3),
-        "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
-        "baseline_anchor": "22400 reads / 420 s = 53.3 reads/s end-to-end "
-                           "(reference example on i5-5200U, README 'Local Execution')",
+        "metric": "end_to_end_pipeline_speedup_vs_reference_example",
+        "value": round(e2e_speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(e2e_speedup, 2),
+        "baseline_anchor": "reference example: 27.9 Mb / 147 gaps / ~22400 "
+                           "reads closes in ~420 s on an i5-5200U (README "
+                           "'Local Execution'); phase C runs the full "
+                           "pipeline on a same-scale self-hosted scenario",
+        "pipeline_seconds": round(pipeline_s, 1),
+        "end_to_end_reads_per_second": round(e2e_reads_per_s, 1),
+        "n_reads_e2e": len(e_reads),
+        "n_gaps_e2e": 147,
+        "n_closed_gaps_e2e": result.n_closed_gaps,
+        "reads_aligned_per_second_per_chip": round(reads_per_s, 3),
+        "align_vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
         "warmup_seconds": round(warmup_s, 1),
         "align_seconds": round(align_s, 1),
+        "align_trial_seconds": align_trials,
         "mbases_per_second": round(n_bases / align_s / 1e6, 2),
         "pileups_per_second": round(pileups_per_s, 3),
         "process_seconds": round(process_s, 1),
+        "process_trial_seconds": process_trials,
         "n_pile_ups": len(pile_ups),
         "n_insertions": len(insertions),
     }))
