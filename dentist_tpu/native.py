@@ -69,6 +69,16 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             i64p, i64p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+    if hasattr(lib, "dentist_seed_lookup_stream"):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.dentist_seed_lookup_stream.restype = ctypes.c_int64
+        lib.dentist_seed_lookup_stream.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"), i64p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), i64p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p, ctypes.c_int64, i64p, i64p,
+        ]
     _lib = lib
     return _lib
 
@@ -89,9 +99,25 @@ def seed_lookup(qcodes: np.ndarray, qoffs: np.ndarray, k: int, stride: int,
     counts = np.zeros(nq, dtype=np.int64)
     bs_ptr = (bucket_start.ctypes.data_as(ctypes.c_void_p)
               if bucket_start is not None else None)
-    args = (qcodes, qoffs, nq, k, stride, max_occ,
+    head = (qcodes, qoffs, nq, k, stride, max_occ,
             unique_kmers, unique_start, len(unique_kmers),
             bs_ptr, bucket_bits, 2 * k, sorted_pos, counts)
+    if hasattr(lib, "dentist_seed_lookup_stream"):
+        # single-pass protocol: emit while counting; the measured hit
+        # rate is ~0.3 seeds per query k-mer, so 1× k-mer-count capacity
+        # has ≈3× headroom — overflow retries with the exact size
+        n_kmers = int(np.maximum(qoffs[1:] - qoffs[:-1] - k, 0).sum() // stride) + nq
+        cap = max(n_kmers, 1 << 12)
+        while True:
+            a_pos = np.empty(cap, dtype=np.int64)
+            b_pos = np.empty(cap, dtype=np.int64)
+            total = int(lib.dentist_seed_lookup_stream(*head, cap, a_pos, b_pos))
+            if total <= cap:
+                offsets = np.zeros(nq + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
+                return offsets, a_pos[:total], b_pos[:total]
+            cap = total
+    args = head
     lib.dentist_seed_lookup(*args, None, None, None)
     offsets = np.zeros(nq + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])

@@ -11,6 +11,13 @@
 // Two-phase protocol: phase 1 (out_offsets == nullptr) fills `counts`
 // with seeds per query; the caller prefix-sums into `out_offsets` and
 // calls phase 2, which writes (a_pos, b_pos) pairs.
+//
+// dentist_seed_lookup_stream is the preferred single-pass protocol: it
+// emits the (a_pos, b_pos) stream contiguously into a caller-allocated
+// buffer of `capacity` entries while counting, and returns the total
+// needed.  On the rare overflow (total > capacity) the caller retries
+// with an exact-size buffer — one probe pass instead of two in the
+// common case, which halves the mapping stage's dominant host cost.
 
 #include <cstdint>
 
@@ -113,6 +120,100 @@ void dentist_seed_lookup(
         }
         counts[q] = found;
     }
+}
+
+int64_t dentist_seed_lookup_stream(
+    const uint8_t* qcodes, const int64_t* qoffs, int64_t nq,
+    int32_t k, int32_t stride, int64_t max_occ,
+    const int32_t* unique_kmers, const int64_t* unique_start,
+    int64_t n_unique,
+    const int64_t* bucket_start, int32_t bucket_bits, int32_t total_bits,
+    const int64_t* sorted_pos,
+    int64_t* counts,
+    int64_t capacity,
+    int64_t* out_apos, int64_t* out_bpos)
+{
+    const int32_t low_shift = total_bits - bucket_bits;
+    constexpr int64_t BLK = 256;
+    int32_t vbuf[BLK];
+    int64_t ibuf[BLK], lobuf[BLK], hibuf[BLK], ubuf[BLK], sbuf[BLK], obuf[BLK];
+    int64_t w = 0;        // contiguous write cursor
+    bool overflow = false;
+
+    for (int64_t q = 0; q < nq; ++q) {
+        const uint8_t* codes = qcodes + qoffs[q];
+        const int64_t len = qoffs[q + 1] - qoffs[q];
+        int64_t found = 0;
+        const int64_t nkm = (len >= k) ? (len - k) / stride + 1 : 0;
+        for (int64_t blk = 0; blk < nkm; blk += BLK) {
+            const int64_t nb = (nkm - blk < BLK) ? (nkm - blk) : BLK;
+            for (int64_t j = 0; j < nb; ++j) {
+                const int64_t i = (blk + j) * stride;
+                int32_t v = 0;
+                for (int32_t t = 0; t < k; ++t)
+                    v = (v << 2) | (codes[i + t] & 3);
+                vbuf[j] = v;
+                ibuf[j] = i;
+                if (bucket_start)
+                    __builtin_prefetch(&bucket_start[(uint32_t)v >> low_shift]);
+            }
+            for (int64_t j = 0; j < nb; ++j) {
+                if (bucket_start) {
+                    const int64_t b = (uint32_t)vbuf[j] >> low_shift;
+                    lobuf[j] = bucket_start[b];
+                    hibuf[j] = bucket_start[b + 1];
+                    __builtin_prefetch(&unique_kmers[lobuf[j]]);
+                } else {
+                    lobuf[j] = 0;
+                    hibuf[j] = n_unique;
+                }
+            }
+            for (int64_t j = 0; j < nb; ++j) {
+                int64_t u = -1;
+                if (bucket_start) {
+                    for (int64_t c = lobuf[j]; c < hibuf[j]; ++c)
+                        if (unique_kmers[c] == vbuf[j]) { u = c; break; }
+                } else {
+                    int64_t lo = lobuf[j], hi = hibuf[j];
+                    while (lo < hi) {
+                        const int64_t mid = (lo + hi) >> 1;
+                        if (unique_kmers[mid] < vbuf[j]) lo = mid + 1;
+                        else hi = mid;
+                    }
+                    if (lo < n_unique && unique_kmers[lo] == vbuf[j]) u = lo;
+                }
+                ubuf[j] = u;
+                if (u >= 0)
+                    __builtin_prefetch(&unique_start[u]);
+            }
+            for (int64_t j = 0; j < nb; ++j) {
+                if (ubuf[j] < 0) { obuf[j] = 0; continue; }
+                sbuf[j] = unique_start[ubuf[j]];
+                const int64_t occ = unique_start[ubuf[j] + 1] - sbuf[j];
+                obuf[j] = (occ > 0 && occ <= max_occ) ? occ : 0;
+                if (obuf[j])
+                    __builtin_prefetch(&sorted_pos[sbuf[j]]);
+            }
+            for (int64_t j = 0; j < nb; ++j) {
+                const int64_t occ = obuf[j];
+                if (!occ) continue;
+                if (!overflow && w + occ <= capacity) {
+                    for (int64_t c = 0; c < occ; ++c) {
+                        out_apos[w + c] = sorted_pos[sbuf[j] + c];
+                        out_bpos[w + c] = ibuf[j];
+                    }
+                    w += occ;
+                } else {
+                    overflow = true;  // keep counting; caller retries exact
+                }
+                found += occ;
+            }
+        }
+        counts[q] = found;
+    }
+    int64_t total = 0;
+    for (int64_t q = 0; q < nq; ++q) total += counts[q];
+    return total;
 }
 
 }  // extern "C"
