@@ -47,6 +47,9 @@ def main():
 
     enable_compile_cache()
     warm_device()
+    from dentist_tpu.ops.consensus import warm_shapes
+
+    warm_shapes()  # preload consensus programs behind datagen + mapping
 
     from dentist_tpu.models.mask import coverage_mask, pack_chain_intervals
     from dentist_tpu.models.pileups import ChainCtx, CollectConfig, collect_pile_ups

@@ -465,6 +465,9 @@ def process_pile_ups(
     (``findReferenceReadCandidates`` + retry, ``package.d:518-619``);
     per-pile-up failures are contained with logged reasons.
     """
+    from ..ops.consensus import warm_shapes
+
+    warm_shapes()  # concurrent program preloads overlap the prepare pass
     cfg = cfg or ProcessConfig()
     lo, hi = batch if batch else (0, len(pile_ups))
 

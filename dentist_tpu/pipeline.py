@@ -68,9 +68,11 @@ class PipelineConfig:
 
 @trace_execution
 def run_pipeline(assembly_path, reads_path, out_path, cfg: PipelineConfig | None = None):
+    from .ops.consensus import warm_shapes
     from .utils.cache import warm_device
 
     warm_device()  # absorb the device's first-dispatch tax during IO
+    warm_shapes()  # preload consensus programs behind IO + mapping
     cfg = cfg or PipelineConfig()
     if cfg.workdir:  # persist the event log for lost-gaps analysis
         from .utils.log import tee_log_file
