@@ -230,14 +230,31 @@ def check_results(
     true_idx = [SuffixArrayIndex(t) for t in true_records]
     res_idx = [SuffixArrayIndex(r) for r in result_records]
 
-    # duplicate test contigs: exact copies of another test contig
-    # (reference: perfect self-alignments of refDb, checkResults.d:401-415)
-    by_content: dict[bytes, list[int]] = {}
-    for c in test_structure.contigs:
-        key = test_contigs.get(c.global_contig_id).tobytes()
-        by_content.setdefault(key, []).append(c.global_contig_id)
-    duplicates = {cid for ids in by_content.values() if len(ids) > 1
-                  for cid in ids}
+    # duplicate test contigs: perfect SELF-alignments of the input
+    # assembly — a contig found exactly (either strand) inside a
+    # DIFFERENT contig is a duplicate and excluded from gap analysis.
+    # This also catches *contained* copies, matching the reference's
+    # fm-index self-search with refId != queryId
+    # (``checkResults.d:401-415,545`` — not just equal-content pairs).
+    cids = [c.global_contig_id for c in test_structure.contigs]
+    seqs = [test_contigs.get(cid) for cid in cids]
+    sep = np.full(1, 4, dtype=np.uint8)
+    joined = np.concatenate(
+        [p for s in seqs for p in (s, sep)])[:-1] if seqs else sep[:0]
+    starts = np.cumsum([0] + [len(s) + 1 for s in seqs[:-1]])
+    ends = starts + np.array([len(s) for s in seqs], dtype=np.int64)
+    self_idx = SuffixArrayIndex(joined)
+    duplicates: set[int] = set()
+    for k, (cid, seq) in enumerate(zip(cids, seqs)):
+        for pat in (seq, _COMP[seq][::-1]):
+            hits = self_idx.locate(pat, max_out=4)
+            owner = np.searchsorted(starts, hits, side="right") - 1
+            inside = hits + len(pat) <= ends[owner]
+            # hits within the contig itself are not duplicates
+            # (reference: ``findResult.refId != findResult.queryId``)
+            if np.any(inside & (owner != k)):
+                duplicates.add(cid)
+                break
 
     # locate each input contig in the truth, both strands (tells us the
     # true gap content; checkResults.d locates via FM-index both ways)

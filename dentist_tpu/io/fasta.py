@@ -137,7 +137,9 @@ def codes_to_seq(codes: np.ndarray, upper: bool | np.ndarray = False) -> str:
 
 
 def reverse_complement(codes: np.ndarray) -> np.ndarray:
-    return _COMPLEMENT[np.asarray(codes, dtype=np.uint8)][::-1]
+    # index the reversed view so the result is C-contiguous in ONE pass
+    # (a reversed view forced a second copy in every downstream consumer)
+    return _COMPLEMENT[np.asarray(codes, dtype=np.uint8)[::-1]]
 
 
 def write_fasta(fh_or_path, records, line_width: int = 50):

@@ -209,24 +209,47 @@ class Aligner:
 
         k_mid = min(max(int(round(a_mid / TRACE_SPACING)), k_lo), k_hi)
         a0 = b0 = None
-        last_step = k_hi - k_lo  # probe every ring until one past a hit
-        for step in range(k_hi - k_lo + 1):
-            if step > last_step:
-                break
-            for k in ((k_mid - step, k_mid + step) if step else (k_mid,)):
-                if not k_lo <= k <= k_hi:
-                    continue
-                cand_a0 = k * TRACE_SPACING
-                cand_b0 = b_at(cand_a0)
-                if 0 <= cand_b0 <= b_len:
-                    if (
-                        a0 is None
-                        or abs(cand_a0 - a_mid) < abs(a0 - a_mid)
-                        or (abs(cand_a0 - a_mid) == abs(a0 - a_mid) and cand_a0 < a0)
-                    ):
-                        a0, b0 = cand_a0, cand_b0
-                    # adjacent ring may tie in |a0 − a_mid|; farther ones not
-                    last_step = min(last_step, step + 1)
+        # fast path (the overwhelmingly common case): the middle anchor is
+        # interior to the seed span, so its interpolated b lies between
+        # seed b's and is always valid — one lookup, no ring probe.  The
+        # ring would stop at step 0 with the same anchor (a probe hit at
+        # step 0 bounds last_step to 1, and any step-1 tie loses on the
+        # strict |Δ| comparison or the a0 tie-break only when equal —
+        # equality at step 1 means k_mid was rounded, handled below).
+        fast = ap_first <= k_mid * TRACE_SPACING <= ap_last
+        if fast:
+            cand_a0 = k_mid * TRACE_SPACING
+            cand_b0 = b_at(cand_a0)
+            if 0 <= cand_b0 <= b_len:
+                a0, b0 = cand_a0, cand_b0
+                # a step-1 neighbor can tie |Δa| only when a_mid sits
+                # exactly between two multiples; prefer the smaller a0
+                # (the ring's tie-break)
+                alt = (k_mid - 1) * TRACE_SPACING
+                if (k_mid - 1 >= k_lo and abs(alt - a_mid) == abs(cand_a0 - a_mid)
+                        and alt < cand_a0):
+                    alt_b0 = b_at(alt)
+                    if 0 <= alt_b0 <= b_len:
+                        a0, b0 = alt, alt_b0
+        if a0 is None:
+            last_step = k_hi - k_lo  # probe every ring until one past a hit
+            for step in range(k_hi - k_lo + 1):
+                if step > last_step:
+                    break
+                for k in ((k_mid - step, k_mid + step) if step else (k_mid,)):
+                    if not k_lo <= k <= k_hi:
+                        continue
+                    cand_a0 = k * TRACE_SPACING
+                    cand_b0 = b_at(cand_a0)
+                    if 0 <= cand_b0 <= b_len:
+                        if (
+                            a0 is None
+                            or abs(cand_a0 - a_mid) < abs(a0 - a_mid)
+                            or (abs(cand_a0 - a_mid) == abs(a0 - a_mid) and cand_a0 < a0)
+                        ):
+                            a0, b0 = cand_a0, cand_b0
+                        # adjacent ring may tie in |a0 − a_mid|; farther not
+                        last_step = min(last_step, step + 1)
         if a0 is None:
             return
 

@@ -122,6 +122,22 @@ def chain_local_alignments(
 
 def _chain_group(las: LocalAlignmentSet, idx: np.ndarray, opts: ChainingOptions) -> list[Chain]:
     n = len(idx)
+    if n == 1:
+        # singleton fast path (the dominant case at mapping scale —
+        # most (contig, read) pairs carry exactly one LA): identical
+        # outcome to the n×n machinery below at a fraction of its
+        # fixed numpy overhead
+        i = int(idx[0])
+        if las.disabled[i]:
+            return []
+        score = (int(las.a_end[i]) - int(las.a_begin[i])
+                 + int(las.b_end[i]) - int(las.b_begin[i])) // 2
+        if score < opts.effective_min_score(score):
+            return []
+        return [Chain(indices=idx, a_id=int(las.a_id[i]),
+                      b_id=int(las.b_id[i]),
+                      complement=bool(las.complement[i]),
+                      score=score, alternate=False)]
     ab = las.a_begin[idx].astype(np.int64)
     ae = las.a_end[idx].astype(np.int64)
     bb = las.b_begin[idx].astype(np.int64)

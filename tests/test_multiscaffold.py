@@ -38,3 +38,38 @@ def test_two_chromosomes_close_independently():
     # coordinate translation across scaffolds
     kind, cid, coord = result.translate_coord("chr2", 50)
     assert kind == "contig" and coord == 50
+
+
+def test_contained_duplicate_contig_excluded_from_stats():
+    """A contig exactly CONTAINED inside another contig (a repeat copy,
+    not an equal-content pair) must be flagged duplicate and its gaps
+    IGNORED — the reference derives duplicates from perfect
+    self-alignments, which include containment
+    (``checkResults.d:401-415``: fm-index self-search, refId != queryId).
+    """
+    from dentist_tpu.eval.check_results import GapState, check_results
+
+    rng = np.random.default_rng(77)
+    big = rng.integers(0, 4, 4000).astype(np.uint8)
+    contained = big[1000:2500].copy()  # exact substring of `big`
+    other = rng.integers(0, 4, 2000).astype(np.uint8)
+    truth = [np.concatenate([big, rng.integers(0, 4, 300).astype(np.uint8),
+                             other])]
+    # scaffold: big --gap-- contained --gap-- other
+    n = np.full(100, 4, dtype=np.uint8)
+    asm = [np.concatenate([big, n, contained, n, other])]
+    records = [FastaRecord("scaf0", asm[0])]
+    contigs, structure = split_scaffolds(records)
+    assert len(contigs) == 3 and len(structure.gaps) == 2
+
+    stats = check_results(truth, structure, contigs, [truth[0]])
+    by_pair = {(g.begin_contig, g.end_contig): g.state for g in stats.gaps}
+    # both gaps touch the contained duplicate (contig 2) -> ignored
+    assert by_pair[(1, 2)] == GapState.IGNORED
+    assert by_pair[(2, 3)] == GapState.IGNORED
+    # equal-length copies still flag each other
+    dup_asm = [np.concatenate([other, n, other])]
+    c2, s2 = split_scaffolds([FastaRecord("scaf0", dup_asm[0])])
+    stats2 = check_results([np.concatenate([other, other])], s2, c2,
+                           [np.concatenate([other, other])])
+    assert all(g.state == GapState.IGNORED for g in stats2.gaps)
