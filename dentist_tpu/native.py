@@ -79,8 +79,18 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             i64p, i64p, ctypes.c_int64, i64p, i64p,
         ]
+    if hasattr(lib, "dentist_seed_merge"):
+        lib.dentist_seed_merge.restype = ctypes.c_int64
+        lib.dentist_seed_merge.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
+        ]
     _lib = lib
     return _lib
+
+
+#: EMA of observed seeds per query k-mer (sizes the stream buffer)
+_STREAM_RATE = 0.35
 
 
 def seed_lookup(qcodes: np.ndarray, qoffs: np.ndarray, k: int, stride: int,
@@ -103,19 +113,33 @@ def seed_lookup(qcodes: np.ndarray, qoffs: np.ndarray, k: int, stride: int,
             unique_kmers, unique_start, len(unique_kmers),
             bs_ptr, bucket_bits, 2 * k, sorted_pos, counts)
     if hasattr(lib, "dentist_seed_lookup_stream"):
-        # single-pass protocol: emit while counting; the measured hit
-        # rate is ~0.3 seeds per query k-mer, so 1× k-mer-count capacity
-        # has ≈3× headroom — overflow retries with the exact size
+        # single-pass protocol: emit while counting.  The capacity
+        # tracks the RUN's observed hit rate (seeds per query k-mer,
+        # ~0.3 on unique sequence but far higher for repeat-dense
+        # batches): an EMA-scaled cap with 2× headroom keeps overflow
+        # retries rare without a fixed oversized allocation (ADVICE r3:
+        # the static 1× k-mer cap overflowed routinely on repeat storms,
+        # degrading to two full passes)
+        global _STREAM_RATE
         n_kmers = int(np.maximum(qoffs[1:] - qoffs[:-1] - k, 0).sum() // stride) + nq
-        cap = max(n_kmers, 1 << 12)
+        cap = max(int(n_kmers * 2.0 * max(_STREAM_RATE, 0.15)), 1 << 12)
         while True:
             a_pos = np.empty(cap, dtype=np.int64)
             b_pos = np.empty(cap, dtype=np.int64)
             total = int(lib.dentist_seed_lookup_stream(*head, cap, a_pos, b_pos))
             if total <= cap:
+                _STREAM_RATE = (0.7 * _STREAM_RATE
+                                + 0.3 * (total / max(n_kmers, 1)))
                 offsets = np.zeros(nq + 1, dtype=np.int64)
                 np.cumsum(counts, out=offsets[1:])
-                return offsets, a_pos[:total], b_pos[:total]
+                if 2 * total < cap:
+                    # copy out: slim views must not pin the cap-sized
+                    # buffers for as long as downstream slices live
+                    # (ADVICE r3: 16 B per query k-mer held hostage)
+                    a_pos, b_pos = a_pos[:total].copy(), b_pos[:total].copy()
+                else:
+                    a_pos, b_pos = a_pos[:total], b_pos[:total]
+                return offsets, a_pos, b_pos
             cap = total
     args = head
     lib.dentist_seed_lookup(*args, None, None, None)
@@ -130,6 +154,31 @@ def seed_lookup(qcodes: np.ndarray, qoffs: np.ndarray, k: int, stride: int,
         a_pos.ctypes.data_as(ctypes.c_void_p),
         b_pos.ctypes.data_as(ctypes.c_void_p))
     return offsets, a_pos, b_pos
+
+
+def seed_merge(cols: np.ndarray, max_gap: int, slope_slack: int,
+               slope_frac: float):
+    """Native greedy merge of band-local seed sub-clusters.
+
+    ``cols``: (M, 6) int64 rows (g, seq, a0, a1, b0, b1) sorted by
+    (g, seq, a0, b0).  Returns ``(assign (M,), bounds (K, 6))`` — the
+    merged-cluster id of each row (creation order) and each cluster's
+    final bounds — or None when the library is absent (the caller keeps
+    a pure-Python loop with identical semantics).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dentist_seed_merge"):
+        return None
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    M = len(cols)
+    assign = np.empty(M, dtype=np.int64)
+    bounds = np.empty((M, 6), dtype=np.int64)
+    K = int(lib.dentist_seed_merge(
+        cols.ctypes.data_as(ctypes.c_void_p), M, max_gap, slope_slack,
+        ctypes.c_double(slope_frac),
+        assign.ctypes.data_as(ctypes.c_void_p),
+        bounds.ctypes.data_as(ctypes.c_void_p)))
+    return assign, bounds[:K]
 
 
 def native_available() -> bool:

@@ -370,18 +370,13 @@ class Aligner:
                 rev = j.b_chars[max(0, j.b_anchor - (BW - W)) : j.b_anchor + W][::-1]
                 lead = W - min(W, len(j.b_chars) - j.b_anchor)
                 b_win[n, lead : lead + len(rev)] = rev
-        # async dispatch: device computes while the host seeds more reads
-        if self.mesh is not None:
-            rows = np.arange(R + 1, dtype=np.int64)
-            offs_k = ((rows[:, None] * num_k[None, :]) // R - W // 2).astype(
-                np.int32)
-            return extend_batch_multi_async(a_win, b_win, a_lens, b_lens,
-                                            offs_k, lane_k, W=W,
-                                            mesh=self.mesh, diag_lo=diag_lo,
-                                            diag_hi=diag_hi)
+        # async dispatch: device computes while the host seeds more
+        # reads; the mesh path ships the SAME 2-bit packed single
+        # transfer, sharded on dp (round-2/3 directive: the unpacked
+        # 8-array staging re-paid the per-RPC latency per flush)
         return extend_batch_packed_async(a_win, b_win, a_lens, b_lens, num_k,
                                          lane_k, W=W, diag_lo=diag_lo,
-                                         diag_hi=diag_hi)
+                                         diag_hi=diag_hi, mesh=self.mesh)
 
     def _drain(self):
         from concurrent.futures import ThreadPoolExecutor

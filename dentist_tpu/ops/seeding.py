@@ -361,50 +361,80 @@ def cluster_seeds_batched(
     sub_a0, sub_a1 = a_local[starts], a_local[lasts]
     sub_b0, sub_b1 = b_pos[starts], b_pos[lasts]
 
-    # Pass 2: greedy merge of sub-clusters sorted by (group, seq, a_start).
+    # Pass 2: greedy merge of sub-clusters sorted by (group, seq, a_start)
+    # — native (GIL-released; the Python loop over millions of
+    # sub-clusters serialized the seeding thread pool at genome scale),
+    # with an identical pure-Python fallback.
     o2 = np.lexsort((sub_b0, sub_a0, sub_seq, sub_g))
     cols = np.stack([sub_g[o2], sub_seq[o2], sub_a0[o2], sub_a1[o2],
-                     sub_b0[o2], sub_b1[o2], starts[o2], ends[o2]], axis=1)
-    merged: list[list] = []  # [g, seq, a0, a1, b0, b1, [(start, end)...]]
-    for g, sq, a0, a1, b0, b1, cs, ce in cols.tolist():
-        attached = False
-        for m in reversed(merged[-8:]):
-            if m[0] != g or m[1] != sq:
-                continue
-            gap_a = a0 - m[3]
-            gap_b = b0 - m[5]
-            if gap_a > max_gap:
-                continue
-            if abs(gap_a - gap_b) <= slope_slack + slope_frac * max(abs(gap_a), abs(gap_b)):
-                m[3] = max(m[3], a1)
-                m[5] = max(m[5], b1)
-                m[6].append((cs, ce))
-                attached = True
-                break
-        if not attached:
-            merged.append([g, sq, a0, a1, b0, b1, [(cs, ce)]])
+                     sub_b0[o2], sub_b1[o2]], axis=1)
+    cs_all, ce_all = starts[o2], ends[o2]
+    from ..native import seed_merge
 
-    for g, sq, a0, a1, b0, b1, segs in merged:
-        n = sum(e - s for s, e in segs)
-        if n < min_seeds:
-            continue
-        if len(segs) == 1:
-            s, e = segs[0]
+    res = seed_merge(cols, max_gap, slope_slack, slope_frac)
+    if res is not None:
+        assign, bounds = res
+    else:
+        M = len(cols)
+        assign = np.empty(M, dtype=np.int64)
+        blist: list[list] = []  # [g, seq, a0, a1, b0, b1]
+        for r, (g, sq, a0, a1, b0, b1) in enumerate(cols.tolist()):
+            attached = False
+            for mi in range(len(blist) - 1, max(len(blist) - 9, -1), -1):
+                m = blist[mi]
+                if m[0] != g or m[1] != sq:
+                    continue
+                gap_a = a0 - m[3]
+                gap_b = b0 - m[5]
+                if gap_a > max_gap:
+                    continue
+                if abs(gap_a - gap_b) <= slope_slack + slope_frac * max(
+                        abs(gap_a), abs(gap_b)):
+                    m[3] = max(m[3], a1)
+                    m[5] = max(m[5], b1)
+                    assign[r] = mi
+                    attached = True
+                    break
+            if not attached:
+                assign[r] = len(blist)
+                blist.append([g, sq, a0, a1, b0, b1])
+        bounds = (np.array(blist, dtype=np.int64).reshape(-1, 6)
+                  if blist else np.empty((0, 6), np.int64))
+
+    # vectorized filters over merged clusters (only survivors — a few
+    # percent — materialize seed arrays and Python objects)
+    K = len(bounds)
+    if K == 0:
+        return out
+    n_m = np.bincount(assign, weights=(ce_all - cs_all),
+                      minlength=K).astype(np.int64)
+    span = bounds[:, 3] - bounds[:, 2]
+    # seed-density filter: true alignments at ≤30 % error carry tens
+    # of k=14 seeds per kb, while random k-mer triples that cluster
+    # by chance are sparse over long spans — and their count grows
+    # linearly with genome size, flooding the extension engine at
+    # 100 Mb+ scale (daligner's hit-bases threshold serves this role)
+    keep = ((n_m >= min_seeds) & (span >= min_span)
+            & (n_m >= min_seeds + span * min_density_per_kb / 1000.0))
+    if not keep.any():
+        return out
+    rows = np.flatnonzero(keep[assign])
+    o3 = np.argsort(assign[rows], kind="stable")  # creation order
+    rows = rows[o3]
+    ids = assign[rows]
+    cut = np.flatnonzero(np.diff(ids)) + 1
+    for grp_rows in np.split(rows, cut):
+        mid = int(assign[grp_rows[0]])
+        g, sq = int(bounds[mid, 0]), int(bounds[mid, 1])
+        if len(grp_rows) == 1:
+            s, e = int(cs_all[grp_rows[0]]), int(ce_all[grp_rows[0]])
             ap, bp = a_local[s:e], b_pos[s:e]
         else:
-            ap = np.concatenate([a_local[s:e] for s, e in segs])
-            bp = np.concatenate([b_pos[s:e] for s, e in segs])
-            o3 = np.argsort(ap, kind="stable")
-            ap, bp = ap[o3], bp[o3]
-        span = int(ap[-1] - ap[0])
-        if span < min_span:
-            continue
-        # seed-density filter: true alignments at ≤30 % error carry tens
-        # of k=14 seeds per kb, while random k-mer triples that cluster
-        # by chance are sparse over long spans — and their count grows
-        # linearly with genome size, flooding the extension engine at
-        # 100 Mb+ scale (daligner's hit-bases threshold serves this role)
-        if n < min_seeds + span * min_density_per_kb / 1000.0:
-            continue
+            ap = np.concatenate([a_local[int(cs_all[r]) : int(ce_all[r])]
+                                 for r in grp_rows])
+            bp = np.concatenate([b_pos[int(cs_all[r]) : int(ce_all[r])]
+                                 for r in grp_rows])
+            o4 = np.argsort(ap, kind="stable")
+            ap, bp = ap[o4], bp[o4]
         out[g].append(SeedCandidate(sq, complements[g], ap, bp))
     return out

@@ -216,4 +216,59 @@ int64_t dentist_seed_lookup_stream(
     return total;
 }
 
+// Greedy diagonal-continuity merge of band-local seed sub-clusters
+// (pass 2 of the clustering in ops/seeding.py — daligner's diagonal-band
+// merge).  The Python loop ran once per sub-cluster (~millions at genome
+// scale) holding the GIL, which serialized the seeding thread pool; the
+// exact same greedy (8-entry lookback, identical comparisons incl. the
+// float slope bound) runs here in native code.
+//
+// cols: M x 6 rows (g, seq, a0, a1, b0, b1) sorted by (g, seq, a0, b0).
+// Outputs: assign[M] = merged-cluster id per row (ids in creation
+// order), bounds[K x 6] = final (g, seq, a0, a1, b0, b1) per cluster.
+// Returns K.
+int64_t dentist_seed_merge(
+    const int64_t* cols, int64_t M,
+    int64_t max_gap, int64_t slope_slack, double slope_frac,
+    int64_t* assign, int64_t* bounds)
+{
+    int64_t K = 0;
+    for (int64_t r = 0; r < M; ++r) {
+        const int64_t g = cols[r * 6 + 0], sq = cols[r * 6 + 1];
+        const int64_t a0 = cols[r * 6 + 2], a1 = cols[r * 6 + 3];
+        const int64_t b0 = cols[r * 6 + 4], b1 = cols[r * 6 + 5];
+        bool attached = false;
+        const int64_t lo = (K >= 8) ? K - 8 : 0;
+        for (int64_t m = K - 1; m >= lo; --m) {
+            int64_t* mb = bounds + m * 6;
+            if (mb[0] != g || mb[1] != sq)
+                continue;
+            const int64_t gap_a = a0 - mb[3];
+            const int64_t gap_b = b0 - mb[5];
+            if (gap_a > max_gap)
+                continue;
+            const int64_t aga = gap_a < 0 ? -gap_a : gap_a;
+            const int64_t agb = gap_b < 0 ? -gap_b : gap_b;
+            const int64_t mx = aga > agb ? aga : agb;
+            const int64_t d = gap_a - gap_b;
+            const int64_t ad = d < 0 ? -d : d;
+            if ((double)ad <= (double)slope_slack + slope_frac * (double)mx) {
+                if (a1 > mb[3]) mb[3] = a1;
+                if (b1 > mb[5]) mb[5] = b1;
+                assign[r] = m;
+                attached = true;
+                break;
+            }
+        }
+        if (!attached) {
+            int64_t* mb = bounds + K * 6;
+            mb[0] = g; mb[1] = sq; mb[2] = a0; mb[3] = a1;
+            mb[4] = b0; mb[5] = b1;
+            assign[r] = K;
+            ++K;
+        }
+    }
+    return K;
+}
+
 }  // extern "C"

@@ -129,3 +129,34 @@ def test_packed_dispatch_equals_multi_array_diag_bounds():
         a_win, b_win, a_len, b_len, num_k, lane_k, W=W,
         diag_lo=diag_lo, diag_hi=diag_hi))
     assert np.array_equal(ref, got)
+
+
+def test_packed_dispatch_equals_multi_array_on_mesh():
+    """The 2-bit packed single-transfer dispatch under shard_map over an
+    8-device mesh must be bit-identical to both the unpacked mesh
+    dispatch and the single-device packed dispatch (round-3 directive
+    #5: the mesh path formerly staged eight unpacked arrays)."""
+    from dentist_tpu.ops.banded import bw_for, extend_batch_packed_async
+    from dentist_tpu.parallel.dp import make_mesh
+
+    W, N, R, K = 64, 16, 252, 4
+    BW = bw_for(R, W)
+    rng = np.random.default_rng(13)
+    a_win = rng.integers(0, 4, (N, R)).astype(np.uint8)
+    b_win = rng.integers(0, 4, (N, BW)).astype(np.uint8)
+    a_len = rng.integers(R // 2, R + 1, N).astype(np.int32)
+    b_len = rng.integers(R // 2, int(1.1 * R), N).astype(np.int32)
+    num_k = np.array([R, int(1.05 * R), int(0.95 * R), R], np.int32)
+    lane_k = (np.arange(N) % K).astype(np.int32)
+    rows = np.arange(R + 1, dtype=np.int64)
+    offs_k = ((rows[:, None] * num_k[None, :]) // R - W // 2).astype(np.int32)
+
+    mesh = make_mesh(8)
+    single = np.asarray(extend_batch_packed_async(
+        a_win, b_win, a_len, b_len, num_k, lane_k, W=W))
+    mesh_unpacked = np.asarray(extend_batch_multi_async(
+        a_win, b_win, a_len, b_len, offs_k, lane_k, W=W, mesh=mesh))
+    mesh_packed = np.asarray(extend_batch_packed_async(
+        a_win, b_win, a_len, b_len, num_k, lane_k, W=W, mesh=mesh))
+    assert np.array_equal(single, mesh_packed)
+    assert np.array_equal(mesh_unpacked, mesh_packed)
