@@ -552,29 +552,26 @@ def _assemble(cands: list[_CandState], cfg: AlignerConfig) -> LocalAlignmentSet:
         # assemble cumulative (b, d) at every trace boundary of A
         # backward rows r=126k < r_b map to boundary a0-r with
         # b = b0 - tj_b[k], cumdiff-from-start = d_b - td_b[k]
-        b_pts = [b_begin]
-        d_pts = [0]
-        for tj, td in zip(tj_b[::-1], td_b[::-1]):
-            b_pts.append(c.b0 - int(tj))
-            d_pts.append(d_b - int(td))
-        if r_b > 0:
-            b_pts.append(c.b0)
-            d_pts.append(d_b)
-        for tj, td in zip(tj_f, td_f):
-            b_pts.append(c.b0 + int(tj))
-            d_pts.append(d_b + int(td))
-        b_pts.append(b_end)
-        d_pts.append(diffs)
-        b_pts = np.maximum.accumulate(np.array(b_pts, dtype=np.int64))
-        d_pts = np.maximum.accumulate(np.array(d_pts, dtype=np.int64))
+        # (vectorized: the former per-trace-point appends were ~2M list
+        # ops per genome-scale mapping pass)
+        anchor = ([c.b0], [d_b]) if r_b > 0 else ([], [])
+        b_pts = np.concatenate([
+            [b_begin], c.b0 - tj_b[::-1], anchor[0], c.b0 + tj_f, [b_end],
+        ]).astype(np.int64)
+        d_pts = np.concatenate([
+            [0], d_b - td_b[::-1], anchor[1], d_b + td_f, [diffs],
+        ]).astype(np.int64)
+        np.maximum.accumulate(b_pts, out=b_pts)
+        np.maximum.accumulate(d_pts, out=d_pts)
         # boundaries: a_begin, mids(126), a0(=126k), mids, a_end — drop the
         # duplicated anchor entry when both directions exist; drop duplicate
         # first/last boundary when a_begin/a_end are themselves multiples.
-        bounds = [a_begin]
-        bounds += list(range(a_begin // TRACE_SPACING * TRACE_SPACING + TRACE_SPACING,
-                             a_end, TRACE_SPACING))
-        bounds.append(a_end)
-        bounds = np.array(bounds, dtype=np.int64)
+        bounds = np.concatenate([
+            [a_begin],
+            np.arange(a_begin // TRACE_SPACING * TRACE_SPACING + TRACE_SPACING,
+                      a_end, TRACE_SPACING, dtype=np.int64),
+            [a_end],
+        ])
         bounds = bounds[np.concatenate([[True], np.diff(bounds) > 0])]
         if len(b_pts) != len(bounds):
             # defensive: resample via linear interpolation on the collected pts

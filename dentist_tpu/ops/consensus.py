@@ -960,6 +960,8 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
         # cost more than padded lanes); CPU tests keep the ladder
         Nc = (_WCHUNK if _is_accel()
               else next((b for b in _N_LADDER if m <= b <= _WCHUNK), _WCHUNK))
+        if mesh is not None and mesh.size > 1 and Nc % mesh.size:
+            Nc = -(-Nc // mesh.size) * mesh.size  # non-power-of-2 meshes
         tpl_c = np.zeros((Nc, _WS), np.uint8)
         seg_c = np.zeros((Nc, _SEG), np.uint8)
         meta = np.zeros((4, Nc), np.int32)
@@ -1025,8 +1027,9 @@ def _dispatch_chunk(lanes, chunk, TB, W, centers_for, mesh=None):
 
     RLB = _rl_bucket(0, TB)
     N = _n_bucket_lanes(len(chunk), TB, W)
-    if mesh is not None and mesh.size > 1:
-        assert N % mesh.size == 0, (N, mesh.size)
+    if mesh is not None and mesh.size > 1 and N % mesh.size:
+        # non-power-of-2 meshes (e.g. 6 hosts): pad to a lane multiple
+        N = -(-N // mesh.size) * mesh.size
     tpl = np.zeros((N, TB), dtype=np.uint8)
     t_lens = np.ones(N, dtype=np.int32)
     reads_arr = np.zeros((N, RLB), dtype=np.uint8)
@@ -1553,6 +1556,8 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
             # two V widths only (see _V_SMALL): every chunk reuses a
             # compiled shape instead of minting per-power-of-2 variants
             V = _V_SMALL // 2 if n_chunk <= _V_SMALL // 2 else _V_MAX // 2
+            if mesh is not None and mesh.size > 1 and V % mesh.size:
+                V = -(-V // mesh.size) * mesh.size  # non-power-of-2 meshes
             buf = np.zeros((V, 2 * TWp + NB * RW), dtype=np.uint8)
             meta = np.zeros((V, 2 + NB), dtype=np.int32)
             sl = slice(c0, c0 + n_chunk)

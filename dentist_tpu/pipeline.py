@@ -111,9 +111,13 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
     with trace_execution("masks.tandem"):
         tan = tandem_mask(c, o, l)
     with trace_execution("masks.selfAlignment"):
+        # stride-4 seeding: repeat discovery needs ~tens of seeds/kb at
+        # ≥500 bp / ≤30 % divergence, which stride 4 retains with 4×
+        # headroom (k=14 at 15 % divergence still yields ~25 seeds/kb);
+        # halves the dominant host cost of the self-alignment scan
         self_las = align_store_pair(
             c, o, l, [contigs.get(i + 1) for i in range(len(contigs))],
-            config=AlignerConfig(), self_alignment=True,
+            config=AlignerConfig(query_stride=4), self_alignment=True,
             mask_intervals=(dust | tan).iv, mesh=mesh,
         )
     self_mask = coverage_mask(pack_chain_intervals(self_las), l, 0, cfg.max_coverage_self)
@@ -186,7 +190,8 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
         return result
 
     # ---- second pass: validate closed gaps on the preliminary assembly
-    skip = _validation_pass(result, read_list, reads, cfg)
+    skip = _validation_pass(result, read_list, reads, cfg,
+                            primary=(las, chains, contigs.lengths, insertions))
     if skip:
         out_cfg.skip_gaps = skip
         result = build_output(contigs, structure, insertions, out_cfg)
@@ -194,11 +199,23 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
 
 
 @trace_execution
-def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
+def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig,
+                     primary=None):
     """Re-map reads to the preliminary assembly and validate closed gaps.
 
     Returns the skip-gaps set (pairs of input contig ids) for invalid
     regions (``Snakefile:1380-1493`` + ``skip_gaps.py``).
+
+    ``primary`` (las, chains, contig_lengths, insertions) prefilters the
+    re-mapped read set: validation regions are gap ± ``pad``, so only
+    reads whose primary chain reaches within ``pad`` of a contig end,
+    unmapped reads (they may align across a now-closed gap), and the
+    insertions' supporting reads can contribute evidence — interior
+    reads (the large majority at genome scale) cannot and are skipped.
+    This also matches the reference's semantics more closely than
+    re-mapping everything against gap sub-stores: damapper competes a
+    read's placements genome-wide (``-n`` best chains), so a repeat read
+    whose best placement is interior never votes in a gap region.
     """
     prelim_records = [FastaRecord(h, _str_codes(s)) for h, s in result.records]
     prelim, prelim_structure = split_scaffolds(prelim_records)
@@ -236,6 +253,31 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
     # adjacent closed-gap intervals on one contig must NOT merge, or the
     # interval→contig-id-pair association is lost and purging is skipped.
     pad = 25_000
+    # candidate-read prefilter from the primary mapping (see docstring)
+    val_reads = read_list
+    val_ids = None
+    if primary is not None:
+        p_las, p_chains, contig_lens, p_insertions = primary
+        n_reads = len(read_list)
+        near_end = np.zeros(n_reads + 1, dtype=bool)
+        has_chain = np.zeros(n_reads + 1, dtype=bool)
+        slack = 5_000
+        for ch in p_chains:
+            has_chain[ch.b_id] = True
+            ab, ae, _, _ = ch.first_last(p_las)
+            a_len = int(contig_lens[ch.a_id - 1])
+            if ae > a_len - pad - slack or ab < pad + slack:
+                near_end[ch.b_id] = True
+        keep = near_end.copy()
+        keep[1:] |= ~has_chain[1 : n_reads + 1]  # unmapped: may span a closed gap
+        for ins in p_insertions:
+            for rid in ins.read_ids:
+                if rid <= n_reads:
+                    keep[rid] = True
+        val_ids = [i + 1 for i in range(n_reads) if keep[i + 1]]
+        val_reads = [read_list[i - 1] for i in val_ids]
+        log_json("info", event="validationReadPrefilter",
+                 nCandidates=len(val_ids), nReads=n_reads)
     sub_seqs, sub_regions, sub_region_ids = [], [], {}
     for (cid, b, e), pair in [((int(t), int(bb), int(ee)), region_ids.get((int(t), int(bb), int(ee))))
                               for t, bb, ee in triples]:
@@ -254,7 +296,7 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig):
     from .parallel.dp import default_mesh
 
     p_las, p_chains = map_reads(
-        sub_codes, sub_offs, sub_lens, read_list,
+        sub_codes, sub_offs, sub_lens, val_reads, read_ids=val_ids,
         config=MapperConfig(), mask_intervals=(p_dust | p_tan).iv,
         mesh=default_mesh(),
     )
