@@ -23,6 +23,7 @@ model, see :data:`.banded.DIFF_PENALTY`).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -79,8 +80,10 @@ class AlignerConfig:
     query_stride: int = 2
     #: overlap fraction (A and B) above which two LAs are duplicates
     dedup_overlap: float = 0.5
-    #: host seeding thread-pool size (lookups overlap device dispatches)
-    seed_threads: int = 4
+    #: host seeding thread-pool size (lookups release the GIL in native
+    #: code and overlap device dispatches; scales with the host — a
+    #: v5e-8 host has ~112 vCPUs vs this dev box's 4)
+    seed_threads: int = max(2, min(16, (os.cpu_count() or 4)))
 
 
 def _bucket_for(r: int) -> int:

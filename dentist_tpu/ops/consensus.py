@@ -674,8 +674,10 @@ _LEAD_SLACK = 8
 
 
 #: windowed-lane result row: 64 B nibble-packed interior sym (126 cols)
-#: + 254 B uint16-packed ins slots (127 boundaries) + 254 B int16 jpath
-_WROW = (64 + 2 * (_ADV + 1) + 2 * (_ADV + 1)) // 4  # int32 words (143)
+#: + 254 B uint16-packed ins slots (127 boundaries) + 128 B band-relative
+#: uint8 jpath (j − center + 64 ∈ [0, 192] since the band is W=128 wide;
+#: 255 = uncovered) — fetch bytes are the windowed rounds' wall
+_WROW = (64 + 2 * (_ADV + 1) + (_ADV + 1) + 3) // 4  # int32 words (112)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
@@ -695,6 +697,7 @@ def _nw_window_round(chars_pack, meta, W: int):
     """
     from .banded import _unpack2bit
 
+    assert W <= 128, "byte-packed jpath offsets require the W=128 band"
     N = meta.shape[1]
     TP, RP = _WS // 4, _SEG // 4
     tpl = _unpack2bit(chars_pack[:, :TP]).T
@@ -711,15 +714,23 @@ def _nw_window_round(chars_pack, meta, W: int):
     idx_b = loc0[:, None] + jnp.arange(_ADV + 1, dtype=jnp.int32)[None, :]
     sym_i = jnp.take_along_axis(sym, idx_c, axis=1).astype(jnp.uint8)
     ins_i = jnp.take_along_axis(ins, idx_b[:, :, None], axis=1).astype(jnp.uint16)
-    jp_i = jnp.take_along_axis(jpath, idx_b, axis=1).astype(jnp.int16)
+    jp_i = jnp.take_along_axis(jpath, idx_b, axis=1)
+    # jpath relative to the band center at each boundary: in-band by
+    # construction (|j − c| ≤ W ≤ 128), so one biased byte suffices
+    cen_i = jnp.take_along_axis(centers.T, idx_b, axis=1)
+    jp_b = jnp.where(jp_i >= 0,
+                     jnp.clip(jp_i - cen_i + 64, 0, 254),
+                     255).astype(jnp.uint8)
+    jp_b = jnp.concatenate(
+        [jp_b, jnp.full((N, 1), 255, jnp.uint8)], axis=1)  # pad to 128
     sym_p = ((sym_i[:, 0::2] << 4) | sym_i[:, 1::2]).astype(jnp.uint8)  # 63 B
     sym_p = jnp.concatenate(
         [sym_p, jnp.zeros((N, 1), jnp.uint8)], axis=1)  # pad to 64
     ins_p = (ins_i[:, :, 0] | (ins_i[:, :, 1] << 3)
              | (ins_i[:, :, 2] << 6) | (ins_i[:, :, 3] << 9))  # (N, 127) u16
     ins_b = jax.lax.bitcast_convert_type(ins_p, jnp.uint8).reshape(N, -1)
-    jp_b = jax.lax.bitcast_convert_type(jp_i, jnp.uint8).reshape(N, -1)
-    buf = jnp.concatenate([sym_p, ins_b, jp_b], axis=1)  # (N, 572)
+    buf = jnp.concatenate(
+        [sym_p, ins_b, jp_b, jnp.zeros((N, 2), jnp.uint8)], axis=1)  # 448 B
     return jax.lax.bitcast_convert_type(buf.reshape(N, _WROW, 4), jnp.int32)
 
 
@@ -747,9 +758,14 @@ def _sharded_nw_window_round(mesh, W: int):
     return step
 
 
-def _unpack_window_rows(packed: np.ndarray):
+def _unpack_window_rows(packed: np.ndarray, cen_b: np.ndarray):
     """Host inverse of :func:`_nw_window_round`'s packing: returns
-    (sym (m, 126) int8, ins (m, 127, 4) int8, jpath (m, 127) int64)."""
+    (sym (m, 126) int8, ins (m, 127, 4) int8, jpath (m, 127) int64).
+
+    ``cen_b`` (m, 127): band centers at the interior boundaries (the
+    host rebuilds them from tlen/slen/loc0 — the same proportional
+    formula the dispatch used), restoring absolute jpath from the
+    biased byte offsets."""
     m = packed.shape[0]
     buf = np.ascontiguousarray(packed).view(np.uint8).reshape(m, 4 * _WROW)
     sym_p = buf[:, :63]
@@ -760,7 +776,8 @@ def _unpack_window_rows(packed: np.ndarray):
     ins = np.empty((m, _ADV + 1, 4), np.int8)
     for s in range(4):
         ins[:, :, s] = ((ins_p >> (3 * s)) & 7).astype(np.int8)
-    jp = buf[:, 64 + 2 * (_ADV + 1) :].view(np.int16).astype(np.int64)
+    jb = buf[:, 64 + 2 * (_ADV + 1) : 64 + 3 * (_ADV + 1)].astype(np.int64)
+    jp = np.where(jb == 255, -1, jb - 64 + cen_b)
     return sym, ins, jp
 
 
@@ -1003,9 +1020,14 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
         handles = list(ex.map(lambda p: dispatch(*p), plan))
     with ThreadPoolExecutor(max_workers=4) as ex:
         arrs = list(ex.map(np.asarray, handles))
+    bnd = np.arange(_ADV + 1, dtype=np.int64)[None, :]
     for (c0, c1), packed in zip(plan, arrs):
         m = c1 - c0
-        sym, ins, jp = _unpack_window_rows(packed[:m])
+        # band centers at the interior boundaries (rows loc0..loc0+126)
+        r = loc0[c0:c1, None] + bnd
+        tl = np.maximum(tlen[c0:c1, None].astype(np.int64), 1)
+        cen_b = np.minimum(r, tl) * slen[c0:c1, None] // tl
+        sym, ins, jp = _unpack_window_rows(packed[:m], cen_b)
         sym_all[c0:c1] = sym
         ins_all[c0:c1] = ins
         jp_all[c0:c1] = jp
