@@ -663,6 +663,12 @@ _INDEX_CACHE: "dict[bytes, KmerIndex]" = {}
 _INDEX_CACHE_MAX = 4
 
 
+#: content-hash → presorted (kmers, positions): the argsort (the
+#: expensive part of an index build) is shared across the pipeline's
+#: three mask variants of the same assembly
+_PRESORT_CACHE: "dict[bytes, tuple]" = {}
+
+
 def _cached_index(codes, offsets, lengths, k, mask_intervals) -> KmerIndex:
     import hashlib
 
@@ -671,13 +677,20 @@ def _cached_index(codes, offsets, lengths, k, mask_intervals) -> KmerIndex:
     h.update(np.ascontiguousarray(codes).tobytes())
     h.update(np.ascontiguousarray(offsets).tobytes())
     h.update(np.ascontiguousarray(lengths).tobytes())
+    content_key = h.digest()
     if mask_intervals is not None and len(mask_intervals):
         h.update(np.ascontiguousarray(mask_intervals).tobytes())
     key = h.digest()
     idx = _INDEX_CACHE.get(key)
     if idx is None:
+        pre = _PRESORT_CACHE.get(content_key)
+        if pre is None:
+            pre = KmerIndex.presort(codes, k)
+            if len(_PRESORT_CACHE) >= _INDEX_CACHE_MAX:
+                _PRESORT_CACHE.pop(next(iter(_PRESORT_CACHE)))
+            _PRESORT_CACHE[content_key] = pre
         idx = KmerIndex(codes, offsets, lengths, k=k,
-                        mask_intervals=mask_intervals)
+                        mask_intervals=mask_intervals, presorted=pre)
         if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
             _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
         _INDEX_CACHE[key] = idx

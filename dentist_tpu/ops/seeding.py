@@ -63,25 +63,30 @@ class KmerIndex:
         lengths: np.ndarray,
         k: int = DEFAULT_K,
         mask_intervals: np.ndarray | None = None,
+        presorted: tuple[np.ndarray, np.ndarray] | None = None,
     ):
         """`mask_intervals`: (M, 3) region triples (contig_tag 1-based,
         local begin, local end) — the ``Region.iv`` layout every mask in
         the framework uses — or (M, 2) begin/end intervals already in
         *global* concatenated coordinates.  Seeds inside are suppressed
         (soft masking — daligner ``-m`` track semantics).
+
+        ``presorted``: the content-only ``(sorted_kmers, sorted_pos)`` of
+        the UNMASKED sequence (see :meth:`presort`) — the expensive
+        argsort is shared across mask variants (the pipeline indexes the
+        same assembly for self-alignment, mapping, and re-mapping with
+        three different masks); stable filtering of a stable sort gives
+        bit-identical index arrays.
         """
         self.k = k
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self.lengths = np.asarray(lengths, dtype=np.int64)
         self.ends = self.offsets + self.lengths
-        total = len(codes)
-        km = kmer_codes(codes, k)
-        pos = np.arange(len(km), dtype=np.int64)
-        # drop k-mers spanning a contig boundary
-        valid = np.ones(len(km), dtype=bool)
+        n_km = max(len(codes) - k + 1, 0)
+        # position validity: contig bounds + soft masking
+        valid = np.ones(n_km, dtype=bool)
         for o in self.offsets[1:]:
             valid[max(0, o - k + 1) : o] = False
-        # soft masking
         if mask_intervals is not None and len(mask_intervals):
             mi = np.asarray(mask_intervals, dtype=np.int64)
             if mi.shape[1] == 3:
@@ -93,11 +98,26 @@ class KmerIndex:
                 mi = np.stack([mi[:, 1] + base, mi[:, 2] + base], axis=1)
             for b, e in mi:
                 valid[max(0, b - k + 1) : e] = False
-        km, pos = km[valid], pos[valid]
-        order = np.argsort(km, kind="stable")
-        self.sorted_kmers = km[order]
-        self.sorted_pos = pos[order]
+        if presorted is not None:
+            km_s, pos_s = presorted
+            keep = valid[pos_s]
+            self.sorted_kmers = km_s[keep]
+            self.sorted_pos = pos_s[keep]
+        else:
+            km = kmer_codes(codes, k)
+            pos = np.arange(n_km, dtype=np.int64)
+            km, pos = km[valid], pos[valid]
+            order = np.argsort(km, kind="stable")
+            self.sorted_kmers = km[order]
+            self.sorted_pos = pos[order]
         self._build_bucket_table()
+
+    @staticmethod
+    def presort(codes: np.ndarray, k: int = DEFAULT_K):
+        """Content-only sorted (kmers, positions) for ``presorted=``."""
+        km = kmer_codes(codes, k)
+        order = np.argsort(km, kind="stable")
+        return km[order], order.astype(np.int64)
 
     def _build_bucket_table(self):
         """Direct-address acceleration for lookup.

@@ -106,10 +106,14 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
 
     mesh = default_mesh()
     c, o, l = contigs.codes, contigs.offsets, contigs.lengths
-    with trace_execution("masks.dust"):
-        dust = dust_mask(c, o, l)
-    with trace_execution("masks.tandem"):
-        tan = tandem_mask(c, o, l)
+    # dust is host-CPU, tandem is device-bound: true overlap
+    from concurrent.futures import ThreadPoolExecutor
+
+    with trace_execution("masks.dust+tandem"):
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            tan_f = ex.submit(tandem_mask, c, o, l)
+            dust = dust_mask(c, o, l)
+            tan = tan_f.result()
     with trace_execution("masks.selfAlignment"):
         # stride-4 seeding: repeat discovery needs ~tens of seeds/kb at
         # ≥500 bp / ≤30 % divergence, which stride 4 retains with 4×
@@ -295,9 +299,17 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig,
     p_tan = tandem_mask(sub_codes, sub_offs, sub_lens)
     from .parallel.dp import default_mesh
 
+    from .ops.aligner import AlignerConfig
+
     p_las, p_chains = map_reads(
         sub_codes, sub_offs, sub_lens, val_reads, read_ids=val_ids,
-        config=MapperConfig(), mask_intervals=(p_dust | p_tan).iv,
+        # stride-4 seeding: validation needs coverage/spanning EVIDENCE
+        # (20× deep regions, thresholds far from the margin), not
+        # maximal sensitivity — ~45 seeds/kb at stride 3 leaves 3×
+        # headroom over the density floor even at stride 4
+        config=MapperConfig(aligner=AlignerConfig(max_candidates=12,
+                                                  query_stride=4)),
+        mask_intervals=(p_dust | p_tan).iv,
         mesh=default_mesh(),
     )
     vcfg = ValidateConfig(
