@@ -243,3 +243,27 @@ def test_sharded_consensus_non_power_of_two_mesh():
     sharded = consensus_batch(sets, mesh=make_mesh(6))
     for a, b in zip(single, sharded):
         assert np.array_equal(a.sequence, b.sequence)
+
+
+def test_incremental_realign_all_dirty_equals_full():
+    """A dirty-window realign with every column dirty must reproduce the
+    full windowed round exactly (the incremental mode's carried values
+    only ever stand in for windows the dirty mask excludes)."""
+    from dentist_tpu.ops.consensus import _ConsJob, _run_round
+
+    truth = random_genome(900, seed=31)
+    reads = noisy_reads(truth, 12, 0.12, seed=32)
+    template = reads[5]
+    # round 1: full scan to obtain a traceback path
+    [base] = _run_round([_ConsJob(template, reads)], 128)
+    # full windowed round
+    [full] = _run_round([_ConsJob(template, reads, base.jpath)], 128)
+    # incremental with all columns dirty, carrying the round-1 output
+    dirty = np.ones(len(template), dtype=bool)
+    [inc] = _run_round([_ConsJob(template, reads, base.jpath,
+                                 prev=base, dirty=dirty)], 128)
+    assert np.array_equal(full.sym, inc.sym)
+    assert np.array_equal(full.ins, inc.ins)
+    assert np.array_equal(full.jpath, inc.jpath)
+    assert np.array_equal(full.win, inc.win)
+    assert np.array_equal(full.diffs, inc.diffs)
