@@ -177,14 +177,34 @@ class LocalAlignmentSet:
     def check_invariants(self) -> None:
         """Assert trace/coordinate consistency (reference ``invariant``
         blocks, ``base.d:434-457``): interval count matches the 126-bp
-        boundary grid and b advances sum to the B span."""
-        for i in range(len(self)):
-            bounds = _trace_boundaries(int(self.a_begin[i]), int(self.a_end[i]))
-            td, tb = self.trace(i)
-            assert len(tb) == len(bounds) - 1, (i, len(tb), len(bounds))
-            assert tb.sum() == self.b_length(i), (i, tb.sum(), self.b_length(i))
-            assert td.sum() == self.diffs[i], (i, td.sum(), self.diffs[i])
-            assert (tb >= 0).all() and (td >= 0).all(), i
+        boundary grid and b advances sum to the B span.
+
+        Fully vectorized (one pass over the record set) so the pipeline
+        can afford to run it at every stage boundary — the reference
+        keeps its contracts on in production builds (``dub.sdl:26-28``,
+        CHANGELOG 3.0.0 "keep assertions in production code")."""
+        n = len(self)
+        if n == 0:
+            return
+        ab = self.a_begin.astype(np.int64)
+        ae = self.a_end.astype(np.int64)
+        first = (ab // TRACE_SPACING + 1) * TRACE_SPACING
+        n_mids = np.maximum(0, (ae - first + TRACE_SPACING - 1) // TRACE_SPACING)
+        counts = np.diff(self.trace_offsets)
+        bad = np.flatnonzero(counts != n_mids + 1)
+        assert len(bad) == 0, (int(bad[0]), int(counts[bad[0]]),
+                               int(n_mids[bad[0]] + 1))
+        offs = self.trace_offsets[:-1]
+        tb_sum = np.add.reduceat(self.trace_b_adv.astype(np.int64), offs)
+        td_sum = np.add.reduceat(self.trace_diffs.astype(np.int64), offs)
+        b_len = (self.b_end - self.b_begin).astype(np.int64)
+        bad = np.flatnonzero(tb_sum != b_len)
+        assert len(bad) == 0, (int(bad[0]), int(tb_sum[bad[0]]),
+                               int(b_len[bad[0]]))
+        bad = np.flatnonzero(td_sum != self.diffs)
+        assert len(bad) == 0, (int(bad[0]), int(td_sum[bad[0]]),
+                               int(self.diffs[bad[0]]))
+        assert (self.trace_b_adv >= 0).all() and (self.trace_diffs >= 0).all()
 
     def sort(self) -> "LocalAlignmentSet":
         """Canonical total order: (a_id, b_id, complement, a_begin, b_begin).

@@ -124,6 +124,7 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
             config=AlignerConfig(query_stride=4), self_alignment=True,
             mask_intervals=(dust | tan).iv, mesh=mesh,
         )
+    self_las.check_invariants()  # contracts on in production (dub.sdl:26-28)
     self_mask = coverage_mask(pack_chain_intervals(self_las), l, 0, cfg.max_coverage_self)
     repeats = self_mask | tan
 
@@ -132,6 +133,7 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
             c, o, l, read_list, config=MapperConfig(),
             mask_intervals=(dust | repeats).iv, mesh=mesh,
         )
+    las.check_invariants()
     _, hi_reads = repeat_coverage_bounds_reads(cfg.read_coverage)
     reads_mask = coverage_mask(pack_chain_intervals(las), l, 0, hi_reads)
     # improper-coverage mask: regions where chains that do NOT properly
@@ -312,6 +314,7 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig,
         mask_intervals=(p_dust | p_tan).iv,
         mesh=default_mesh(),
     )
+    p_las.check_invariants()  # contracts on in production (dub.sdl:26-28)
     vcfg = ValidateConfig(
         min_coverage_reads=validation_min_coverage(cfg.read_coverage, cfg.ploidy),
         min_spanning_reads=cfg.min_spanning_reads,
