@@ -151,3 +151,71 @@ def test_translate_a_to_b():
     # b position should be near the expected offset (within error drift)
     expected = a_at - 1000
     assert abs(b_at - expected) < 0.06 * 4000 + 50
+
+
+def test_presorted_index_equals_direct_build():
+    """Mask-variant indexes built by filtering a shared presort must be
+    bit-identical to direct builds (the pipeline shares one argsort
+    across its three mask variants of the same assembly)."""
+    from dentist_tpu.ops.seeding import KmerIndex
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 60_000).astype(np.uint8)
+    offs = np.array([0, 25_000, 45_000])
+    lens = np.array([25_000, 20_000, 15_000])
+    pre = KmerIndex.presort(codes)
+    for mask in (None,
+                 np.array([[1, 500, 2000], [2, 0, 1000], [3, 9000, 15000]]),
+                 np.array([[1, 0, 25_000]])):
+        a = KmerIndex(codes, offs, lens, mask_intervals=mask)
+        b = KmerIndex(codes, offs, lens, mask_intervals=mask, presorted=pre)
+        assert np.array_equal(a.sorted_kmers, b.sorted_kmers)
+        assert np.array_equal(a.sorted_pos, b.sorted_pos)
+
+
+def test_native_seed_merge_equals_python_fallback():
+    """The native greedy sub-cluster merge must reproduce the Python
+    fallback exactly (8-entry lookback, float slope bound and all)."""
+    from dentist_tpu.native import seed_merge
+
+    rng = np.random.default_rng(7)
+    M = 4000
+    g = np.sort(rng.integers(0, 10, M))
+    sq = rng.integers(1, 4, M)
+    a0 = rng.integers(0, 100_000, M)
+    a1 = a0 + rng.integers(50, 3000, M)
+    b0 = a0 + rng.integers(-500, 500, M)
+    b1 = b0 + (a1 - a0) + rng.integers(-100, 100, M)
+    cols = np.stack([g, sq, a0, a1, b0, b1], axis=1).astype(np.int64)
+    cols = cols[np.lexsort((cols[:, 4], cols[:, 2], cols[:, 1], cols[:, 0]))]
+    res = seed_merge(cols, 2000, 80, 0.35)
+    if res is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assign_n, bounds_n = res
+
+    # reference: the pure-Python greedy (same code path the numpy
+    # fallback in cluster_seeds_batched uses)
+    blist = []
+    assign_p = np.empty(len(cols), dtype=np.int64)
+    for r, (gg, ss, aa0, aa1, bb0, bb1) in enumerate(cols.tolist()):
+        attached = False
+        for mi in range(len(blist) - 1, max(len(blist) - 9, -1), -1):
+            m = blist[mi]
+            if m[0] != gg or m[1] != ss:
+                continue
+            gap_a = aa0 - m[3]
+            gap_b = bb0 - m[5]
+            if gap_a > 2000:
+                continue
+            if abs(gap_a - gap_b) <= 80 + 0.35 * max(abs(gap_a), abs(gap_b)):
+                m[3] = max(m[3], aa1)
+                m[5] = max(m[5], bb1)
+                assign_p[r] = mi
+                attached = True
+                break
+        if not attached:
+            assign_p[r] = len(blist)
+            blist.append([gg, ss, aa0, aa1, bb0, bb1])
+    assert np.array_equal(assign_n, assign_p)
+    assert np.array_equal(bounds_n, np.array(blist, dtype=np.int64))
