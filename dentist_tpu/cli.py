@@ -955,9 +955,19 @@ def cmd_pipeline(args):
         read_coverage=args.read_coverage,
         max_coverage_self=args.max_coverage_self,
         min_spanning_reads=args.min_spanning_reads,
+        min_anchor_length=args.min_anchor_length,
         join_policy=args.join_policy,
+        max_insertion_error=args.max_insertion_error,
         no_validation=args.no_validation,
+        allow_single_reads=args.allow_single_reads,
         workdir=args.workdir,
+        ploidy=args.ploidy,
+        max_alignment_error=args.max_alignment_error,
+        best_pileup_margin=args.best_pile_up_margin,
+        existing_gap_bonus=args.existing_gap_bonus,
+        min_reads_per_pile_up=args.min_reads_per_pile_up,
+        proper_allowance=args.proper_alignment_allowance,
+        resume=not args.no_resume,
     )
     run_pipeline(args.assembly, args.reads, args.out_assembly, cfg)
 
@@ -1104,9 +1114,21 @@ def build_parser() -> argparse.ArgumentParser:
         A("--read-coverage", type=float, default=None),
         A("--max-coverage-self", type=int, default=4),
         A("--min-spanning-reads", type=int, default=3),
+        A("--min-anchor-length", type=int, default=500),
         A("--join-policy", default="scaffoldGaps",
           choices=["scaffoldGaps", "scaffolds", "contigs"]),
+        A("--max-insertion-error", type=float, default=0.1),
         A("--no-validation", action="store_true"),
+        A("--allow-single-reads", action="store_true"),
+        A("--ploidy", type=int, default=1),
+        A("--max-alignment-error", type=float, default=0.3),
+        A("--best-pile-up-margin", type=float, default=3.0),
+        A("--existing-gap-bonus", type=float, default=6.0),
+        A("--min-reads-per-pile-up", type=int, default=None,
+          help="default: follow --min-spanning-reads"),
+        A("--proper-alignment-allowance", type=int, default=126),
+        A("--no-resume", action="store_true",
+          help="recompute even when --workdir holds stage artifacts"),
         A("--workdir", default=None))
     return p
 

@@ -173,6 +173,8 @@ def save_insertions(path, insertions: list[Insertion]):
                   if insertions else np.empty(0, np.int64)),
         error=np.array([i.error for i in insertions], dtype=np.float64),
         n_reads=np.array([i.n_reads for i in insertions], dtype=np.int64),
+        crop=np.array([[i.crop_start_node, i.crop_end_node]
+                       for i in insertions], dtype=np.int64).reshape(-1, 2),
     )
 
 
@@ -191,6 +193,10 @@ def load_insertions(path) -> list[Insertion]:
             read_ids=list(z["read_ids"][ro : ro + rl]),
             error=float(z["error"][k]),
             n_reads=int(z["n_reads"][k]),
+            # crop fields absent in containers written before they were
+            # persisted (overlapping-contig joins need them to round-trip)
+            crop_start_node=(int(z["crop"][k, 0]) if "crop" in z.files else 0),
+            crop_end_node=(int(z["crop"][k, 1]) if "crop" in z.files else 0),
         ))
         so += sl
         ro += rl

@@ -471,6 +471,8 @@ def process_pile_ups(
     cfg = cfg or ProcessConfig()
     lo, hi = batch if batch else (0, len(pile_ups))
 
+    from ..utils.prof import prof
+
     prepared: list[_Prepared] = []
     for i in range(lo, min(hi, len(pile_ups))):
         singular_ok = cfg.allow_single_reads and len(pile_ups[i]) == 1
@@ -479,7 +481,9 @@ def process_pile_ups(
                      pileUpId=i, numReads=len(pile_ups[i]))
             continue
         try:
-            prep = _prepare_pile_up(pile_ups[i], ctx, contigs, reads, repeats, cfg)
+            with prof("process.prepare"):
+                prep = _prepare_pile_up(pile_ups[i], ctx, contigs, reads,
+                                        repeats, cfg)
         except Exception as exc:  # per-pile-up containment (reference behavior)
             log_json("warn", event="pileUpSkipped", reason="exception",
                      error=str(exc), pileUp=i)
@@ -525,7 +529,8 @@ def process_pile_ups(
             if cons is None:
                 continue
             try:
-                ins = _splice(prepared[k], cons, contigs, cfg)
+                with prof("process.splice"):
+                    ins = _splice(prepared[k], cons, contigs, cfg)
             except Exception as exc:
                 log_json("warn", event="pileUpSkipped", reason="exception",
                          error=str(exc))

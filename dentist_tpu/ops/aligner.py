@@ -31,6 +31,7 @@ import numpy as np
 from ..io.fasta import reverse_complement
 from ..models.alignments import TRACE_SPACING, LocalAlignmentSet
 from ..utils.log import log_json
+from ..utils.prof import prof, prof_add
 from .banded import extend_batch_multi_async
 from .seeding import (KmerIndex, SeedCandidate, cluster_seeds,
                       cluster_seeds_batched)
@@ -387,19 +388,21 @@ class Aligner:
         from .banded import unpack_extension
 
         # each result fetch pays a device-tunnel round trip; overlap them
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            results = list(ex.map(
-                lambda jf: unpack_extension(jf[1].result()), self._inflight))
-        for (jobs, _), (r_end, j_end, d_end, s_end, trace_j, trace_d) in zip(
-                self._inflight, results):
-            for n, j in enumerate(jobs):
-                res = _summarize(int(r_end[n]), int(j_end[n]), int(d_end[n]),
-                                 int(s_end[n]), trace_j[:, n], trace_d[:, n])
-                cand = self._cands[j.cand_idx]
-                if j.direction > 0:
-                    cand.fwd = res
-                else:
-                    cand.bwd = res
+        with prof("map.drain.fetch"):
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                results = list(ex.map(
+                    lambda jf: unpack_extension(jf[1].result()), self._inflight))
+        with prof("map.drain.summarize"):
+            for (jobs, _), (r_end, j_end, d_end, s_end, trace_j, trace_d) in zip(
+                    self._inflight, results):
+                for n, j in enumerate(jobs):
+                    res = _summarize(int(r_end[n]), int(j_end[n]), int(d_end[n]),
+                                     int(s_end[n]), trace_j[:, n], trace_d[:, n])
+                    cand = self._cands[j.cand_idx]
+                    if j.direction > 0:
+                        cand.fwd = res
+                    else:
+                        cand.bwd = res
         self._inflight = []
 
     # ------------------------------------------------------------------
@@ -468,18 +471,20 @@ class Aligner:
         with ThreadPoolExecutor(max_workers=cfg.seed_threads) as ex:
             futures = [ex.submit(do_chunk, qs, qids) for qs, qids in chunks[:ahead]]
             for ci, (qs, qids) in enumerate(chunks):
-                rcs, cands = futures[ci].result()
+                with prof("map.seedwait"):
+                    rcs, cands = futures[ci].result()
                 futures[ci] = None
                 if ci + ahead < len(chunks):
                     futures.append(ex.submit(do_chunk, *chunks[ci + ahead]))
-                for i, (q, qid) in enumerate(zip(qs, qids)):
-                    fwd_c, rev_c = cands[i], cands[len(qs) + i]
-                    keep_f, keep_r = _cap_candidates(fwd_c, rev_c,
-                                                     cfg.max_candidates)
-                    for cand in keep_f:
-                        self._make_jobs(cand, q, qid)
-                    for cand in keep_r:
-                        self._make_jobs(cand, rcs[i], qid)
+                with prof("map.makejobs"):
+                    for i, (q, qid) in enumerate(zip(qs, qids)):
+                        fwd_c, rev_c = cands[i], cands[len(qs) + i]
+                        keep_f, keep_r = _cap_candidates(fwd_c, rev_c,
+                                                         cfg.max_candidates)
+                        for cand in keep_f:
+                            self._make_jobs(cand, q, qid)
+                        for cand in keep_r:
+                            self._make_jobs(cand, rcs[i], qid)
 
     def finish(self) -> LocalAlignmentSet:
         """Flush pending jobs and assemble the alignment set.
@@ -493,7 +498,8 @@ class Aligner:
                 self._flush_group(key)
         self._drain()
         self._dispatch_pool.shutdown(wait=False)
-        las = _assemble(self._cands, self.cfg)
+        with prof("map.assemble"):
+            las = _assemble(self._cands, self.cfg)
         self._cands = []
         return las
 

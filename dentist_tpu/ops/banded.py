@@ -493,220 +493,3 @@ def extend_batch_multi_async(a_win, b_win, a_len, b_len, offs_k, lane_k,
     return _extend_scan_v3(*args, W=W, bound_diag=bound_diag)
 
 
-@functools.partial(jax.jit, static_argnames=("W",))
-def _extend_scan_v2(a_chars, b_win, b_len, offs, a_len, W: int):
-    """Gather-free banded extension: shared band schedule across lanes.
-
-    The band center follows a *linear* schedule ``offs[r]`` (precomputed on
-    the host from the batch's seed-estimated slope) shared by every lane of
-    the flush.  This removes all per-lane gathers from the inner loop —
-    TPU gathers serialize, and with per-lane band centers each of the
-    16 k scan steps paid three of them.  Per-lane deviation from the
-    shared schedule is absorbed by the band width (drift over 25 kb at
-    13 % error has σ ≈ 50 ≪ W/2).
-
-    a_chars (R, N) uint8; b_win (N, BW) uint8 with B[j] at column j+W;
-    offs (R+1,) int32 — band start per row (j of lane 0 of the band);
-    shifts offs[r]−offs[r−1] must be in {0, 1, 2}.
-    """
-    a_chars = a_chars.astype(jnp.int32)
-    b_win = b_win.astype(jnp.int32)
-    R, N = a_chars.shape
-    BW = b_win.shape[1]
-    p = jnp.arange(W, dtype=jnp.int32)
-    inf_col = jnp.full((N, 1), INF, dtype=jnp.int32)
-
-    j0 = offs[0] + p[None, :]
-    D0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), j0, INF).astype(jnp.int32)
-
-    def body(carry, xs):
-        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
-        a_ch, off_prev, off_cur, r = xs
-        s = off_cur - off_prev  # scalar in {0,1,2}
-        sh0 = D_prev
-        sh1 = jnp.concatenate([D_prev[:, 1:], inf_col], axis=1)
-        sh2 = jnp.concatenate([D_prev[:, 2:], inf_col, inf_col], axis=1)
-        E = jnp.where(s == 0, sh0, jnp.where(s == 1, sh1, sh2))
-        shm1 = jnp.concatenate([inf_col, D_prev[:, :-1]], axis=1)
-        E1 = jnp.where(s == 0, shm1, jnp.where(s == 1, sh0, sh1))
-
-        j = off_cur + p[None, :]
-        b_ch = jax.lax.dynamic_slice(
-            b_win, (0, off_cur - 1 + W), (N, W))
-        sub = (a_ch[:, None] != b_ch).astype(jnp.int32)
-
-        diag = jnp.where(j >= 1, E1 + sub, INF)
-        vert = E + 1
-        tmp = jnp.minimum(diag, vert)
-        valid = (j >= 0) & (j <= b_len[:, None])
-        tmp = jnp.where(valid, tmp, INF)
-        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
-        D = jnp.minimum(tmp, closed + p[None, :])
-        D = jnp.where(valid, jnp.minimum(D, INF), INF)
-
-        S = jnp.where(
-            valid & (D < INF) & (r <= a_len)[..., None],
-            (r + j) - DIFF_PENALTY * D,
-            -INF,
-        )
-        # row bests via reductions only (gathers serialize on TPU)
-        row_s = S.max(axis=1)
-        best_p = jnp.argmax(S, axis=1)
-        row_j = off_cur + best_p
-        row_d = jnp.where(S == row_s[:, None], D, INF).min(axis=1)
-        jm = jnp.maximum(jm, row_j)
-        dm = jnp.maximum(dm, row_d)
-        better = row_s > best_s
-        best_s = jnp.where(better, row_s, best_s)
-        best_r = jnp.where(better, r, best_r)
-        best_j = jnp.where(better, jm, best_j)
-        best_d = jnp.where(better, dm, best_d)
-        return (D, jm, dm, best_s, best_r, best_j, best_d), (jm, dm)
-
-    rows = jnp.arange(1, R + 1, dtype=jnp.int32)
-    xs = (a_chars, offs[:-1], offs[1:], rows)
-    zero = jnp.zeros((N,), dtype=jnp.int32)
-    init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
-    # modest unroll: per-iteration while-loop overhead vs compile time
-    # (aggressive unrolling blows up Mosaic compile latency)
-    (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
-        body, init, xs, unroll=_UNROLL)
-
-    from ..models.alignments import TRACE_SPACING
-
-    trace_j = jm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
-    trace_d = dm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
-    return best_r, best_j, best_d, best_s, trace_j, trace_d
-
-
-def extend_batch_v2_async(a_win, b_win, a_len, b_len, offs, W: int = 256):
-    """Dispatch the shared-schedule extension (see ``_extend_scan_v2``)."""
-    return _extend_scan_v2(
-        jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
-        jnp.asarray(b_win, dtype=jnp.uint8),
-        jnp.asarray(b_len, dtype=jnp.int32),
-        jnp.asarray(offs, dtype=jnp.int32),
-        jnp.asarray(a_len, dtype=jnp.int32),
-        W=W,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("W",))
-def _extend_scan(a_chars, b_win, b_len, centers, a_len, W: int):
-    """Run the banded DP.
-
-    a_chars: (R, N) uint8 — A char consumed at row r (r = 1..R ↔ index r-1)
-    b_win:   (N, BW) uint8 — B chars; B[j] stored at b_win[:, j + W]
-    b_len:   (N,) int32 — valid B length (cells 0 ≤ j ≤ b_len)
-    centers: (R+1, N) int16 — band center per row (centers[0] ≈ 0)
-    a_len:   (N,) int32 — valid rows (rows r > a_len are ignored)
-
-    8-bit/16-bit inputs keep host→device transfers small (the tunnel to
-    the chip is bandwidth-limited); widening happens on device.
-    """
-    a_chars = a_chars.astype(jnp.int32)
-    b_win = b_win.astype(jnp.int32)
-    centers = centers.astype(jnp.int32)
-    R, N = a_chars.shape
-    BW = b_win.shape[1]
-    p = jnp.arange(W, dtype=jnp.int32)
-
-    # initial row 0: center c0, D[p] = j for valid j
-    c0 = centers[0]
-    j0 = c0[:, None] - W // 2 + p[None, :]
-    D0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), j0, INF).astype(jnp.int32)
-
-    def body(carry, xs):
-        D_prev, jm, dm, best_s, best_r, best_j, best_d = carry
-        a_ch, c_prev, c_cur, r = xs
-        s = (c_cur - c_prev)[:, None]  # (N,1)
-        idx = p[None, :] + s  # gather indices into previous wavefront
-        idx_ok = (idx >= 0) & (idx < W)
-        E = jnp.take_along_axis(D_prev, jnp.clip(idx, 0, W - 1), axis=1)
-        E = jnp.where(idx_ok, E, INF)
-        idx_m1 = idx - 1
-        idx_m1_ok = (idx_m1 >= 0) & (idx_m1 < W)
-        E_m1 = jnp.take_along_axis(D_prev, jnp.clip(idx_m1, 0, W - 1), axis=1)
-        E_m1 = jnp.where(idx_m1_ok, E_m1, INF)
-
-        j = c_cur[:, None] - W // 2 + p[None, :]  # absolute B coord of cell
-        b_idx = jnp.clip(j - 1 + W, 0, BW - 1)
-        b_ch = jnp.take_along_axis(b_win, b_idx, axis=1)
-        sub = (a_ch[:, None] != b_ch).astype(jnp.int32)
-
-        diag = jnp.where(j >= 1, E_m1 + sub, INF)
-        vert = E + 1
-        tmp = jnp.minimum(diag, vert)
-        valid = (j >= 0) & (j <= b_len[:, None])
-        tmp = jnp.where(valid, tmp, INF)
-        # horizontal closure: D[p] = p + min_{q<=p}(tmp[q] - q)
-        closed = jax.lax.associative_scan(jnp.minimum, tmp - p[None, :], axis=1)
-        D = jnp.minimum(tmp, closed + p[None, :])
-        D = jnp.where(valid, jnp.minimum(D, INF), INF)
-
-        S = jnp.where(
-            valid & (D < INF) & (r <= a_len)[..., None],
-            (r[:, None] + j) - DIFF_PENALTY * D,
-            -INF,
-        )
-        best_p = jnp.argmax(S, axis=1)
-        row_j = jnp.take_along_axis(j, best_p[:, None], axis=1)[:, 0]
-        row_d = jnp.take_along_axis(D, best_p[:, None], axis=1)[:, 0]
-        row_s = jnp.take_along_axis(S, best_p[:, None], axis=1)[:, 0]
-        # running maxima and best-score tracking live in the carry (a
-        # post-hoc cummax over the row axis compiles pathologically)
-        jm = jnp.maximum(jm, row_j)
-        dm = jnp.maximum(dm, row_d)
-        better = row_s > best_s
-        best_s = jnp.where(better, row_s, best_s)
-        best_r = jnp.where(better, r, best_r)
-        best_j = jnp.where(better, jm, best_j)
-        best_d = jnp.where(better, dm, best_d)
-        return (D, jm, dm, best_s, best_r, best_j, best_d), (jm, dm)
-
-    rows = jnp.arange(1, R + 1, dtype=jnp.int32)
-    rr = jnp.broadcast_to(rows[:, None], (R, N))
-    xs = (a_chars, centers[:-1], centers[1:], rr)
-    zero = jnp.zeros((N,), dtype=jnp.int32)
-    init = (D0, zero, zero, jnp.full((N,), -INF, jnp.int32), zero, zero, zero)
-    (_, _, _, best_s, best_r, best_j, best_d), (jm_rows, dm_rows) = jax.lax.scan(
-        body, init, xs)
-
-    # Only O(R/126) trace samples and per-lane ends leave the device
-    # (transferring full (R, N) rows dominated the host profile).
-    from ..models.alignments import TRACE_SPACING
-
-    trace_j = jm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
-    trace_d = dm_rows[TRACE_SPACING - 1 :: TRACE_SPACING]
-    return best_r, best_j, best_d, best_s, trace_j, trace_d
-
-
-def extend_batch(a_win: np.ndarray, b_win: np.ndarray, a_len: np.ndarray,
-                 b_len: np.ndarray, centers: np.ndarray, W: int = 128):
-    """NumPy-in/NumPy-out wrapper around the jitted scan.
-
-    a_win: (N, R) uint8 codes (A chars consumed forward from the anchor)
-    b_win: (N, R + 2W) uint8 codes, B[j] at column j + W
-    centers: (N, R+1) int32 band centers
-    Returns per-lane (r_end, j_end, d_end, s_end, trace_j (T, N),
-    trace_d (T, N)) numpy arrays, where trace row k samples DP row
-    (k+1)·126.
-    """
-    out = extend_batch_async(a_win, b_win, a_len, b_len, centers, W=W)
-    return tuple(np.asarray(o) for o in out)
-
-
-def extend_batch_async(a_win, b_win, a_len, b_len, centers, W: int = 128):
-    """Dispatch the extension without blocking; returns device arrays.
-
-    The caller materializes results later (``np.asarray``), letting the
-    device compute overlap host-side seeding of subsequent batches.
-    """
-    return _extend_scan(
-        jnp.asarray(np.ascontiguousarray(a_win.T), dtype=jnp.uint8),
-        jnp.asarray(b_win, dtype=jnp.uint8),
-        jnp.asarray(b_len, dtype=jnp.int32),
-        jnp.asarray(np.ascontiguousarray(centers.T), dtype=jnp.int16),
-        jnp.asarray(a_len, dtype=jnp.int32),
-        W=W,
-    )

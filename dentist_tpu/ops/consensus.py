@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.alignments import TRACE_SPACING
+from ..utils.prof import prof, prof_add
 
 __all__ = ["ConsensusResult", "consensus", "consensus_batch",
            "rank_reference_reads"]
@@ -588,20 +589,24 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
             plan.append((chunk, TB))
     from ..parallel.dp import dispatch_workers
 
-    with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
-        # multi-process meshes serialize launches (dispatch_workers=1):
-        # every process must enqueue the collectives in the same order
-        handles = list(ex.map(
-            lambda t: _dispatch_chunk(lanes, t[0], t[1], W, centers_for,
-                                      mesh=mesh), plan))
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        # fetch all chunks concurrently: every result fetch pays a full
-        # device-tunnel round trip, and they pipeline when overlapped
-        # (fetches read local shards only — no collective, any order)
-        fetched = list(ex.map(lambda h: np.asarray(h[0]), handles))
+    with prof("cons.full.dispatch"):
+        with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
+            # multi-process meshes serialize launches (dispatch_workers=1):
+            # every process must enqueue the collectives in the same order
+            handles = list(ex.map(
+                lambda t: _dispatch_chunk(lanes, t[0], t[1], W, centers_for,
+                                          mesh=mesh), plan))
+    with prof("cons.full.fetch"):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            # fetch all chunks concurrently: every result fetch pays a full
+            # device-tunnel round trip, and they pipeline when overlapped
+            # (fetches read local shards only — no collective, any order)
+            fetched = list(ex.map(lambda h: np.asarray(h[0]), handles))
+    prof_add("cons.full.fetch", nbytes=sum(a.nbytes for a in fetched), hits=0)
     retries = []
     for (chunk, TB), (_, cen), arr in zip(plan, handles, fetched):
-        _collect_chunk(lanes, chunk, TB, outs, fetched=arr, centers=cen)
+        with prof("cons.full.collect"):
+            _collect_chunk(lanes, chunk, TB, outs, fetched=arr, centers=cen)
         # retry uncovered lanes with proportional centers
         retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
         if retry:
@@ -627,28 +632,29 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
                        fetched=arr, centers=cen)
 
     # assemble per-job outputs
-    results = []
-    for ji, job in enumerate(jobs):
-        T = len(job.template)
-        n = len(job.reads)
-        NWIN = max((TB_nwin(T)), 1)
-        sym = np.full((n, T), 5, np.int8)
-        ins = np.zeros((n, T + 1, 4), np.int8)
-        jpath = np.full((n, T + 1), -1, np.int64)
-        spans = np.zeros((n, 2), np.int64)
-        diffs = np.zeros(n, np.int64)
-        win = np.zeros((n, NWIN), np.int32)
-        cov = np.zeros(n, bool)
-        for ri in range(n):
-            o = outs[(ji, ri)]
-            sym[ri] = o[0][:T]
-            ins[ri] = o[1][: T + 1]
-            jpath[ri] = o[2][: T + 1]
-            spans[ri] = o[3]
-            diffs[ri] = o[4]
-            win[ri] = o[5][:NWIN]
-            cov[ri] = o[6]
-        results.append(_RoundOut(sym, ins, jpath, spans, diffs, win, cov))
+    with prof("cons.full.assemble"):
+        results = []
+        for ji, job in enumerate(jobs):
+            T = len(job.template)
+            n = len(job.reads)
+            NWIN = max((TB_nwin(T)), 1)
+            sym = np.full((n, T), 5, np.int8)
+            ins = np.zeros((n, T + 1, 4), np.int8)
+            jpath = np.full((n, T + 1), -1, np.int64)
+            spans = np.zeros((n, 2), np.int64)
+            diffs = np.zeros(n, np.int64)
+            win = np.zeros((n, NWIN), np.int32)
+            cov = np.zeros(n, bool)
+            for ri in range(n):
+                o = outs[(ji, ri)]
+                sym[ri] = o[0][:T]
+                ins[ri] = o[1][: T + 1]
+                jpath[ri] = o[2][: T + 1]
+                spans[ri] = o[3]
+                diffs[ri] = o[4]
+                win[ri] = o[5][:NWIN]
+                cov[ri] = o[6]
+            results.append(_RoundOut(sym, ins, jpath, spans, diffs, win, cov))
     return results
 
 
@@ -816,6 +822,7 @@ def _run_round_windowed(jobs, W: int, mesh=None):
     per_job = []  # (rr, kk, i0, kend, b0, b1, jlo_s, lane_offset)
     failures: list[tuple[int, int]] = []
     total = 0
+    _t_build = __import__("time").perf_counter()
     for wi, job in enumerate(jobs):
         template, reads, jp = job.template, job.reads, job.jpath
         T = len(template)
@@ -869,9 +876,15 @@ def _run_round_windowed(jobs, W: int, mesh=None):
         per_job.append((rr, kk, i0, kend, b0, b1, jl, total))
         total += L
 
-    fetched = _dispatch_windowed_lanes(
-        lane_tpl, lane_tlen, lane_seg, lane_seglen, lane_loc0, total, W, mesh)
+    prof_add("cons.win.build", __import__("time").perf_counter() - _t_build,
+             hits=len(jobs))
+    with prof("cons.win.dispatch+fetch", nbytes=total * 4 * _WROW):
+        fetched = _dispatch_windowed_lanes(
+            lane_tpl, lane_tlen, lane_seg, lane_seglen, lane_loc0, total, W,
+            mesh)
+    prof_add("cons.win.lanes", hits=total)
 
+    _t_stitch = __import__("time").perf_counter()
     outs = []
     for wi, job in enumerate(jobs):
         template, reads = job.template, job.reads
@@ -946,6 +959,8 @@ def _run_round_windowed(jobs, W: int, mesh=None):
             for ri in np.flatnonzero(~covered):
                 if (wi, int(ri)) not in failures and len(reads[ri]):
                     failures.append((wi, int(ri)))
+    prof_add("cons.win.stitch", __import__("time").perf_counter() - _t_stitch,
+             hits=len(jobs))
     return outs, failures
 
 
@@ -1018,11 +1033,13 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
     from ..parallel.dp import dispatch_workers
 
     plan = [(c0, min(c0 + _WCHUNK, total)) for c0 in range(0, total, _WCHUNK)]
-    with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
-        # launches serialize on multi-process meshes (collective order)
-        handles = list(ex.map(lambda p: dispatch(*p), plan))
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        arrs = list(ex.map(np.asarray, handles))
+    with prof("cons.win.enqueue"):
+        with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
+            # launches serialize on multi-process meshes (collective order)
+            handles = list(ex.map(lambda p: dispatch(*p), plan))
+    with prof("cons.win.fetch"):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            arrs = list(ex.map(np.asarray, handles))
     bnd = np.arange(_ADV + 1, dtype=np.int64)[None, :]
     for (c0, c1), packed in zip(plan, arrs):
         m = c1 - c0
@@ -1181,12 +1198,13 @@ def _votes_of(out: _RoundOut, T: int):
     if T == 0 or n == 0:
         return (np.zeros((T, 5), np.int32), np.zeros((T + 1, 4, 4), np.int32),
                 np.zeros(T, np.int32))
-    onehot = out.sym[:, :, None] == np.arange(5, dtype=np.int8)[None, None, :]
-    col_votes = onehot.sum(axis=0).astype(np.int32)
-    ins_votes = (out.ins[:, :, :, None]
-                 == np.arange(1, 5, dtype=np.int8)[None, None, None, :]).sum(
-        axis=0).astype(np.int32)
-    cov = col_votes.sum(axis=1).astype(np.int32)
+    with prof("cons.votes"):
+        onehot = out.sym[:, :, None] == np.arange(5, dtype=np.int8)[None, None, :]
+        col_votes = onehot.sum(axis=0).astype(np.int32)
+        ins_votes = (out.ins[:, :, :, None]
+                     == np.arange(1, 5, dtype=np.int8)[None, None, None, :]).sum(
+            axis=0).astype(np.int32)
+        cov = col_votes.sum(axis=1).astype(np.int32)
     return col_votes, ins_votes, cov
 
 
@@ -1562,6 +1580,7 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
     inflight = []
     from concurrent.futures import ThreadPoolExecutor
 
+    _t_g = __import__("time").perf_counter()
     for NB, gidx in by_nb.items():
         parts = [_assemble_gain_group(*groups[gi][:6], NB, HALF, RW, TW)
                  for gi in gidx]
@@ -1607,8 +1626,11 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
                 )
             inflight.append((dst[sl], OK[sl], n_chunk, out))
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
+    prof_add("cons.gains.assemble+enqueue",
+             __import__("time").perf_counter() - _t_g)
+    with prof("cons.gains.fetch"):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
     for (dst_c, ok_c, n_chunk, _out), dist in zip(inflight, fetched):
         db = dist[0, :n_chunk]
         de = dist[1, :n_chunk]
@@ -1796,18 +1818,20 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
         # ---- candidates; score only cache misses (exact window gains)
         per_cands: dict[int, list] = {}
         groups, group_meta = [], []
-        for p in active:
-            cv, iv, cov = votes[p]
-            cands = _candidates_from_votes(cv, iv, cov, floor_high=floors[p],
-                                           template=states[p]["template"])
-            per_cands[p] = cands
-            miss = [c for c in cands if c not in caches[p]]
-            if miss:
-                ca = np.array(miss, dtype=np.int64).reshape(-1, 3)
-                groups.append((states[p]["template"], ca[:, 0], ca[:, 1],
-                               ca[:, 2], states[p]["reads_arr"],
-                               states[p]["jpath"]))
-                group_meta.append((p, miss))
+        with prof("cons.polish.candidates"):
+            for p in active:
+                cv, iv, cov = votes[p]
+                cands = _candidates_from_votes(cv, iv, cov,
+                                               floor_high=floors[p],
+                                               template=states[p]["template"])
+                per_cands[p] = cands
+                miss = [c for c in cands if c not in caches[p]]
+                if miss:
+                    ca = np.array(miss, dtype=np.int64).reshape(-1, 3)
+                    groups.append((states[p]["template"], ca[:, 0], ca[:, 1],
+                                   ca[:, 2], states[p]["reads_arr"],
+                                   states[p]["jpath"]))
+                    group_meta.append((p, miss))
         if groups:
             gains = _window_gains_multi(groups, HALF=HALF, mesh=mesh)
             gi = 0
@@ -1820,6 +1844,7 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
         edited: list[int] = []
         next_active: list[int] = []
         dirty_now: dict[int, np.ndarray] = {}
+        _t_apply = __import__("time").perf_counter()
         for p in active:
             mine = sorted(((caches[p][c], c) for c in per_cands[p]),
                           key=lambda x: -x[0])
@@ -1879,6 +1904,8 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
             caches[p] = cache_new
             edited.append(p)
             next_active.append(p)
+        prof_add("cons.polish.apply",
+                 __import__("time").perf_counter() - _t_apply)
 
         # ---- realign only the windows the edits touched
         if edited:

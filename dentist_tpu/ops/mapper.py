@@ -64,12 +64,16 @@ def map_reads(
     ``mesh`` shards extension dispatches data-parallel (see
     :func:`align_store_pair`).
     """
+    from ..utils.prof import prof
+
     cfg = config or MapperConfig()
-    las = align_store_pair(
-        target_codes, target_offsets, target_lengths, reads, read_ids,
-        config=cfg.aligner, mask_intervals=mask_intervals, mesh=mesh,
-    )
-    all_chains, las = chain_local_alignments(las, cfg.chaining)
+    with prof("map.align"):
+        las = align_store_pair(
+            target_codes, target_offsets, target_lengths, reads, read_ids,
+            config=cfg.aligner, mask_intervals=mask_intervals, mesh=mesh,
+        )
+    with prof("map.chain"):
+        all_chains, las = chain_local_alignments(las, cfg.chaining)
     if not all_chains:
         return las.select(np.zeros(len(las), dtype=bool)), []
 

@@ -64,6 +64,19 @@ class PipelineConfig:
     allow_single_reads: bool = False
     workdir: str | None = None
     ploidy: int = 1
+    # collect/process knobs (reference: collect-pile-ups/process-pile-ups
+    # options the workflow config drives, ``snakemake/Snakefile:686-753``)
+    max_alignment_error: float = 0.3
+    best_pileup_margin: float = 3.0
+    existing_gap_bonus: float = 6.0
+    #: None = the reference's default: follow min_spanning_reads
+    #: (``commandline.d:2131-2136``)
+    min_reads_per_pile_up: int | None = None
+    proper_allowance: int = 126
+    #: with ``workdir``: reuse stage artifacts from a previous run on the
+    #: same inputs (the reference's "execute the same command again to
+    #: continue", README Usage; ``Snakefile:193-229`` checkpoint DAG)
+    resume: bool = True
 
 
 @trace_execution
@@ -161,32 +174,50 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig):
 
 @trace_execution
 def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConfig):
-    dust, repeats, homogenized, las, chains = masks_for(contigs, read_list, cfg)
-    _checkpoint(cfg, masks={"dust": dust, "repeats": repeats,
-                            "repeats-H": homogenized}, las=(las, chains))
+    resume = _ResumeState(cfg, contigs, reads)
+    loaded = resume.load_masks()
+    if loaded is not None:
+        dust, repeats, homogenized, las, chains = loaded
+    else:
+        dust, repeats, homogenized, las, chains = masks_for(contigs, read_list, cfg)
+        _checkpoint(cfg, masks={"dust": dust, "repeats": repeats,
+                                "repeats-H": homogenized}, las=(las, chains))
 
     ctx = ChainCtx(las, chains, contigs.lengths, reads.lengths)
     collect_cfg = CollectConfig(
+        max_alignment_error=cfg.max_alignment_error,
+        proper_allowance=cfg.proper_allowance,
         min_anchor_length=cfg.min_anchor_length,
+        best_pileup_margin=cfg.best_pileup_margin,
+        existing_gap_bonus=cfg.existing_gap_bonus,
         min_spanning_reads=cfg.min_spanning_reads,
     )
-    with trace_execution("stage.collect"):
-        pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized,
-                                    collect_cfg, contigs=contigs, reads=reads)
-    _checkpoint(cfg, pile_ups=pile_ups)
-    with trace_execution("stage.process"):
-        from .parallel.dp import default_mesh
+    pile_ups = resume.load_pile_ups()
+    if pile_ups is None:
+        with trace_execution("stage.collect"):
+            pile_ups = collect_pile_ups(ctx, structure.gaps, homogenized,
+                                        collect_cfg, contigs=contigs,
+                                        reads=reads)
+        _checkpoint(cfg, pile_ups=pile_ups)
+    insertions = resume.load_insertions()
+    if insertions is None:
+        with trace_execution("stage.process"):
+            from .parallel.dp import default_mesh
 
-        insertions = process_pile_ups(
-            pile_ups, ctx, contigs, reads, homogenized,
-            ProcessConfig(allow_single_reads=cfg.allow_single_reads,
-                          max_insertion_error=cfg.max_insertion_error,
-                          # the reference defaults minReadsPerPileUp to
-                          # defaultMinSpanningReads (commandline.d:2131-2136)
-                          min_reads_per_pile_up=cfg.min_spanning_reads),
-            mesh=default_mesh(),
-        )
-    _checkpoint(cfg, insertions=insertions)
+            insertions = process_pile_ups(
+                pile_ups, ctx, contigs, reads, homogenized,
+                ProcessConfig(allow_single_reads=cfg.allow_single_reads,
+                              max_insertion_error=cfg.max_insertion_error,
+                              min_anchor_length=cfg.min_anchor_length,
+                              # the reference defaults minReadsPerPileUp to
+                              # defaultMinSpanningReads (commandline.d:2131-2136)
+                              min_reads_per_pile_up=(
+                                  cfg.min_reads_per_pile_up
+                                  if cfg.min_reads_per_pile_up is not None
+                                  else cfg.min_spanning_reads)),
+                mesh=default_mesh(),
+            )
+        _checkpoint(cfg, insertions=insertions)
     out_cfg = OutputConfig(join_policy=cfg.join_policy,
                            max_insertion_error=cfg.max_insertion_error)
     with trace_execution("stage.output"):
@@ -196,8 +227,12 @@ def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConf
         return result
 
     # ---- second pass: validate closed gaps on the preliminary assembly
-    skip = _validation_pass(result, read_list, reads, cfg,
-                            primary=(las, chains, contigs.lengths, insertions))
+    skip = resume.load_validation()
+    if skip is None:
+        skip = _validation_pass(result, read_list, reads, cfg,
+                                primary=(las, chains, contigs.lengths,
+                                         insertions))
+        resume.save_validation(skip)
     if skip:
         out_cfg.skip_gaps = skip
         result = build_output(contigs, structure, insertions, out_cfg)
@@ -330,6 +365,118 @@ def _validation_pass(result, read_list, reads: SeqStore, cfg: PipelineConfig,
                      numSpanning=r.n_spanning, weakWindows=len(r.weak_windows))
             skip.add(tuple(sorted(r.contig_ids)))
     return skip
+
+
+class _ResumeState:
+    """Stage-artifact reuse from a previous run's ``workdir``.
+
+    The reference's headline restart behavior — "If something fails, you
+    can execute the same command again [and it] will continue"
+    (``/root/reference/README.md`` Usage) — rests on Snakemake's
+    checkpoint DAG re-evaluation (``snakemake/Snakefile:193-229``): a
+    rule re-runs only when its inputs are newer than its outputs.  Here
+    the equivalent guard is a content fingerprint: ``manifest.json``
+    records a hash of the assembly, the reads, and every
+    computation-affecting config field; artifacts are reused ONLY when
+    the stored fingerprint matches the current inputs, so a changed
+    FASTA or option can never silently reuse stale state.
+    """
+
+    def __init__(self, cfg: PipelineConfig, contigs, reads):
+        import hashlib
+        import json as _json
+
+        self.dir = cfg.workdir if (cfg.workdir and cfg.resume) else None
+        self.valid = False
+        if cfg.workdir:
+            os.makedirs(cfg.workdir, exist_ok=True)
+        if not self.dir:
+            return
+        h = hashlib.blake2b(digest_size=16)
+        for arr in (contigs.codes, contigs.lengths, reads.codes, reads.lengths):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        for f in ("read_coverage", "max_coverage_self", "min_spanning_reads",
+                  "min_anchor_length", "join_policy", "max_insertion_error",
+                  "allow_single_reads", "ploidy", "max_alignment_error",
+                  "best_pileup_margin", "existing_gap_bonus",
+                  "min_reads_per_pile_up", "proper_allowance"):
+            h.update(repr(getattr(cfg, f)).encode())
+        self.token = h.hexdigest()
+        mpath = os.path.join(self.dir, "manifest.json")
+        try:
+            with open(mpath) as fh:
+                self.valid = _json.load(fh).get("fingerprint") == self.token
+        except (OSError, ValueError):
+            self.valid = False
+        if not self.valid:
+            # inputs or options changed: stale artifacts must not mix
+            # with fresh ones (pile-ups index into their own run's las)
+            for name in ("dust.mask.npz", "repeats.mask.npz",
+                         "repeats-H.mask.npz", "reads.las.npz",
+                         "pile-ups.npz", "insertions.npz", "validation.json"):
+                try:
+                    os.remove(os.path.join(self.dir, name))
+                except OSError:
+                    pass
+            with open(mpath, "w") as fh:
+                _json.dump({"fingerprint": self.token}, fh)
+
+    def _have(self, *names) -> bool:
+        return self.valid and all(
+            os.path.exists(os.path.join(self.dir, n)) for n in names)
+
+    def load_masks(self):
+        if not self._have("dust.mask.npz", "repeats.mask.npz",
+                          "repeats-H.mask.npz", "reads.las.npz"):
+            return None
+        from .io.store import load_alignments, load_mask
+
+        with trace_execution("resume.masks"):
+            dust = load_mask(os.path.join(self.dir, "dust.mask.npz"))
+            repeats = load_mask(os.path.join(self.dir, "repeats.mask.npz"))
+            homog = load_mask(os.path.join(self.dir, "repeats-H.mask.npz"))
+            las, chains = load_alignments(os.path.join(self.dir, "reads.las.npz"))
+        log_json("info", event="resumeStage", stage="masks+mapping")
+        return dust, repeats, homog, las, chains
+
+    def load_pile_ups(self):
+        if not self._have("pile-ups.npz"):
+            return None
+        from .io.store import load_pile_ups
+
+        pile_ups = load_pile_ups(os.path.join(self.dir, "pile-ups.npz"))
+        log_json("info", event="resumeStage", stage="collect",
+                 numPileUps=len(pile_ups))
+        return pile_ups
+
+    def load_insertions(self):
+        if not self._have("insertions.npz"):
+            return None
+        from .io.store import load_insertions
+
+        insertions = load_insertions(os.path.join(self.dir, "insertions.npz"))
+        log_json("info", event="resumeStage", stage="process",
+                 numInsertions=len(insertions))
+        return insertions
+
+    def load_validation(self):
+        import json as _json
+
+        if not self._have("validation.json"):
+            return None
+        with open(os.path.join(self.dir, "validation.json")) as fh:
+            skip = {tuple(p) for p in _json.load(fh)["skip_gaps"]}
+        log_json("info", event="resumeStage", stage="validation",
+                 numPurged=len(skip))
+        return skip
+
+    def save_validation(self, skip: set):
+        import json as _json
+
+        if not self.dir:
+            return
+        with open(os.path.join(self.dir, "validation.json"), "w") as fh:
+            _json.dump({"skip_gaps": sorted(list(p) for p in skip)}, fh)
 
 
 def _checkpoint(cfg: PipelineConfig, masks=None, las=None, pile_ups=None,

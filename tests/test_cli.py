@@ -234,3 +234,52 @@ def test_config_revert_and_sentinel(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["filter-mask", "-", str(out), "--config", str(cfg),
               "--revert", "bogus-option"])
+
+
+def test_greedy_preset_drives_pipeline(workdir, tmp_path, capsys, monkeypatch):
+    """The greedy preset config (mirroring ``snakemake/dentist.greedy.yml``)
+    must reach the END-TO-END path: every ``__default__`` knob lands in
+    ``PipelineConfig`` (round-4 verdict: ``cmd_pipeline`` silently dropped
+    config) and the run closes gaps."""
+    d = workdir
+    assert main(["build-partial-assembly", str(d / "truth.fasta"),
+                 str(d / "g_asm.fasta"), "--num-gaps", "2",
+                 "--min-gap-size", "60", "--max-gap-size", "200",
+                 "--seed", "81"]) == 0
+    assert main(["simulate-reads", str(d / "truth.fasta"),
+                 str(d / "g_reads.fasta"), "--coverage", "20",
+                 "--mean-length", "9000", "--sd-length", "3000",
+                 "--seed", "82"]) == 0
+    assert main(["generate-config", "--preset", "greedy"]) == 0
+    preset_text = capsys.readouterr().out
+    cfgfile = tmp_path / "greedy.json"
+    cfgfile.write_text(preset_text)
+
+    import dentist_tpu.pipeline as pl
+
+    seen = {}
+    orig = pl.close_gaps
+
+    def spy(contigs, structure, reads, read_list, cfg):
+        seen["cfg"] = cfg
+        return orig(contigs, structure, reads, read_list, cfg)
+
+    monkeypatch.setattr(pl, "close_gaps", spy)
+    assert main(["pipeline", str(d / "g_asm.fasta"), str(d / "g_reads.fasta"),
+                 str(d / "g_closed.fasta"), "--config", str(cfgfile),
+                 "--no-validation"]) == 0
+    cfg = seen["cfg"]
+    # every greedy __default__ knob must have reached PipelineConfig
+    assert cfg.allow_single_reads is True
+    assert cfg.best_pileup_margin == 1.5
+    assert cfg.existing_gap_bonus == 3.0
+    assert cfg.join_policy == "contigs"
+    assert cfg.min_reads_per_pile_up == 1
+    assert cfg.min_spanning_reads == 1
+    assert cfg.proper_allowance == 500
+    # and the end-to-end run actually closed the gaps
+    from dentist_tpu.io.fasta import read_fasta
+
+    out = read_fasta(str(d / "g_closed.fasta"))
+    assert len(out) >= 1
+    assert not any("n" * 10 in codes_to_seq(r.codes) for r in out)
