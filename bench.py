@@ -201,10 +201,44 @@ def main():
     probes["C"] = tunnel_probe()
     print(f"tunnel probe before C: {probes['C'][0]}ms dispatch, "
           f"{probes['C'][1]} MB/s fetch", file=sys.stderr)
+    import tempfile
+
+    from dentist_tpu.utils.log import (STAGE_SECONDS, reset_stage_seconds,
+                                       tee_log_file)
+
+    c_log = tempfile.mktemp(suffix=".bench-c.log")
+    tee_log_file(c_log)
+    reset_stage_seconds()
     t0 = time.time()
     result = close_gaps(e_contigs, e_structure, e_store, e_reads,
                         PipelineConfig(read_coverage=coverage))
     pipeline_s = time.time() - t0
+    tee_log_file(None)
+    # per-stage wall + the production-scale consensus throughput
+    # (round-4 verdict: the dominant stage's trend was invisible —
+    # pile-ups/s was only reported at phase B's 16-pile-up scale)
+    stage_keys = {
+        "masks": "dentist_tpu.pipeline.masks_for",
+        "collect": "stage.collect", "process": "stage.process",
+        "output": "stage.output",
+        "validation": "dentist_tpu.pipeline._validation_pass",
+    }
+    stage_seconds = {name: round(STAGE_SECONDS.get(key, 0.0), 1)
+                     for name, key in stage_keys.items()}
+    n_pu_e2e = 0
+    try:
+        with open(c_log) as fh:
+            for line in fh:
+                ev = json.loads(line)
+                if ev.get("event") == "processPileUps":
+                    n_pu_e2e = ev.get("numPileUps", 0)
+    except OSError:
+        pass
+    pileups_per_s_e2e = n_pu_e2e / max(stage_seconds.get("process") or 1e-9,
+                                       1e-9)
+    print(f"stage split: {stage_seconds}; process-stage throughput "
+          f"{pileups_per_s_e2e:.2f} pile-ups/s over {n_pu_e2e} pile-ups",
+          file=sys.stderr)
     e2e_reads_per_s = len(e_reads) / pipeline_s
     e2e_speedup = 420.0 / pipeline_s
     print(f"end-to-end pipeline: {pipeline_s:.1f}s for {len(e_reads)} reads "
@@ -226,6 +260,9 @@ def main():
         "n_reads_e2e": len(e_reads),
         "n_gaps_e2e": n_gaps_placed,
         "n_closed_gaps_e2e": result.n_closed_gaps,
+        "stage_seconds_e2e": stage_seconds,
+        "n_pile_ups_e2e": n_pu_e2e,
+        "pileups_per_second_e2e": round(pileups_per_s_e2e, 3),
         "tunnel_dispatch_ms": {k: v[0] for k, v in probes.items()},
         "tunnel_fetch_MBps": {k: v[1] for k, v in probes.items()},
         "reads_aligned_per_second_per_chip": round(reads_per_s, 3),

@@ -121,6 +121,13 @@ class _Job:
     #: >0: self-alignment with this identity-diagonal offset (a0 − b0);
     #: the kernel excludes the identity diagonal for these lanes
     self_unit: int = 0
+    #: device-resident dispatch coordinates (None when unavailable):
+    #: absolute anchor in the flat target store, raw-read flat offset,
+    #: raw-read length, and whether b_chars is the reverse complement
+    a_abs0: int | None = None
+    q_roff: int = 0
+    q_len: int = 0
+    comp: bool = False
 
 
 @dataclass
@@ -139,7 +146,8 @@ class Aligner:
     """Aligns query sequences against an indexed target store."""
 
     def __init__(self, index: KmerIndex, target_codes: np.ndarray,
-                 config: AlignerConfig | None = None, mesh=None):
+                 config: AlignerConfig | None = None, mesh=None,
+                 query_store=None):
         self.index = index
         self.target_codes = target_codes
         self.cfg = config or AlignerConfig()
@@ -147,6 +155,16 @@ class Aligner:
         #: data-parallel over the mesh's ``dp`` axis with allgathered
         #: outputs (SURVEY §2.4 block data-parallelism)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        #: (codes, offsets) of the flat query store: enables the
+        #: device-resident dispatch path, where extension windows are
+        #: gathered from HBM-resident stores instead of being assembled
+        #: on the host and shipped per lane (~48 B vs ~7 KB of tunnel
+        #: bytes per lane).  Falls back to host windows without it, on
+        #: meshes (shards ship their own lanes), or when disabled.
+        self._query_store = query_store
+        self._use_resident = (
+            query_store is not None and self.mesh is None
+            and not os.environ.get("DENTIST_TPU_NO_RESIDENT"))
         #: pending jobs keyed by (bucket, slope_bin)
         self._pending: dict[tuple[int, int], list[_Job]] = {}
         self._inflight: list[tuple[list[_Job], object]] = []  # async dispatches
@@ -275,17 +293,29 @@ class Aligner:
             slope = 1.0
         slope = float(np.clip(slope, _SLOPE_MIN, _SLOPE_MAX))
 
+        # device-resident dispatch coordinates (see _build_and_dispatch)
+        a_abs0 = None
+        q_roff = q_len = 0
+        comp = bool(cand.complement)
+        if self._use_resident:
+            codes_q, offs_q = self._query_store
+            a_abs0 = int(self.index.offsets[cand.a_seq - 1]) + a0
+            q_roff = int(offs_q[b_id - 1])
+            q_len = b_len
+
         # forward job (window capped at the largest bucket)
         a_rem, b_rem = a_len - a0, b_len - b0
         r_f = int(min(a_rem, b_rem / slope + W, _BUCKETS[-1]))
         if r_f > 0:
             self._enqueue(_Job(ci, +1, a_seq[a0 : a0 + r_f], b_codes, b0, b_rem,
-                               slope, r_f, self_unit))
+                               slope, r_f, self_unit, a_abs0=a_abs0,
+                               q_roff=q_roff, q_len=q_len, comp=comp))
         # backward job (mirrored coordinates)
         r_b = int(min(a0, b0 / slope + W, _BUCKETS[-1]))
         if r_b > 0:
             self._enqueue(_Job(ci, -1, a_seq[a0 - r_b : a0][::-1], b_codes, b0, b0,
-                               slope, r_b, self_unit))
+                               slope, r_b, self_unit, a_abs0=a_abs0,
+                               q_roff=q_roff, q_len=q_len, comp=comp))
 
     def _enqueue(self, job: _Job):
         key = _bucket_for(job.r_valid)
@@ -347,6 +377,8 @@ class Aligner:
     def _build_and_dispatch(self, jobs, lane_k, num_k, R, N, W):
         from .banded import DIAG_UNBOUNDED, bw_for, extend_batch_packed_async
 
+        if self._use_resident:
+            return self._dispatch_resident(jobs, lane_k, num_k, R, N, W)
         BW = bw_for(R, W)
         a_win = np.zeros((N, R), dtype=np.uint8)
         b_win = np.zeros((N, BW), dtype=np.uint8)
@@ -381,6 +413,116 @@ class Aligner:
         return extend_batch_packed_async(a_win, b_win, a_lens, b_lens, num_k,
                                          lane_k, W=W, diag_lo=diag_lo,
                                          diag_hi=diag_hi, mesh=self.mesh)
+
+    #: resident (tgt shape, qry shape, W) combos already warm-enqueued
+    _RES_WARMED: set = set()
+
+    def _warm_resident(self, tgt_res, qry_res, W):
+        """Fire every (R, N) resident-kernel variant concurrently.
+
+        Remote compiles/cache loads overlap when enqueued together;
+        serial first-touch compiles of ~15 shapes otherwise stall the
+        first mapping pass (same rationale as consensus
+        ``warm_shapes``).  Fire-and-forget; zero-lane metadata."""
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return  # CPU tests: compiles are local and lazy is cheaper
+        key = (tgt_res.shape, qry_res.shape, W)
+        if key in Aligner._RES_WARMED:
+            return
+        Aligner._RES_WARMED.add(key)
+        import threading
+
+        from .banded import DIAG_UNBOUNDED, extend_batch_resident_async
+
+        def _go():
+            outs = []
+            for R in _BUCKETS:
+                for N in _LANE_BUCKETS:
+                    meta = np.zeros((12, N), dtype=np.int32)
+                    meta[10] = -DIAG_UNBOUNDED
+                    meta[11] = DIAG_UNBOUNDED
+                    meta[2] = 1
+                    try:
+                        outs.append(extend_batch_resident_async(
+                            tgt_res, qry_res, meta,
+                            np.full(self._KMAX, R, np.int32), R=R, W=W))
+                    except Exception:
+                        return
+            for o in outs:  # materialize so the loads complete
+                try:
+                    np.asarray(o)
+                except Exception:
+                    pass
+
+        threading.Thread(target=_go, daemon=True,
+                         name="dentist-warm-resident").start()
+
+    def _dispatch_resident(self, jobs, lane_k, num_k, R, N, W):
+        """Metadata-only dispatch against HBM-resident stores.
+
+        Reproduces `_build_and_dispatch`'s window contents exactly —
+        slice starts, per-lane reversal (backward jobs), complementation
+        (reverse-strand queries), and zero masking outside the valid
+        range are all computed here as coordinates and applied on device
+        (:func:`.banded._extend_scan_v3_resident`), so the kernel sees
+        byte-identical inputs while the tunnel carries 12 int32s per
+        lane instead of the ~7 KB of assembled window chars.
+        """
+        from .banded import (DIAG_UNBOUNDED, RESIDENT_PAD, bw_for,
+                             extend_batch_resident_async, resident_codes)
+
+        BW = bw_for(R, W)
+        tgt_res = resident_codes(self.target_codes)
+        q_codes = self._query_store[0]
+        qry_res = (tgt_res if q_codes is self.target_codes
+                   else resident_codes(q_codes))
+        self._warm_resident(tgt_res, qry_res, W)
+        meta = np.zeros((12, N), dtype=np.int32)
+        meta[10] = -DIAG_UNBOUNDED
+        meta[11] = DIAG_UNBOUNDED
+        for n, j in enumerate(jobs):
+            if j.self_unit > 0:
+                if j.direction > 0:
+                    meta[11, n] = j.self_unit - 1
+                else:
+                    meta[10, n] = -(j.self_unit - 1)
+            fwd = j.direction > 0
+            # A window: rows consume target chars outward from the anchor
+            meta[0, n] = (RESIDENT_PAD + j.a_abs0 if fwd
+                          else RESIDENT_PAD + j.a_abs0 - R)
+            meta[1, n] = 0 if fwd else 1
+            meta[2, n] = j.r_valid
+            # B window: column c holds oriented-query char jb(c); the
+            # oriented index maps to the raw read as (L-1-jb) when the
+            # query is the reverse complement
+            anchor, L, roff = j.b_anchor, j.q_len, j.q_roff
+            if fwd:
+                c_lo = max(0, W - anchor)
+                c_hi = c_lo + min(L, anchor + BW - W) - max(0, anchor - W)
+                if j.comp:
+                    f0, s2 = roff + L - 1 - anchor + W, -1
+                else:
+                    f0, s2 = roff + anchor - W, +1
+            else:
+                c_lo = max(0, W - L + anchor)
+                c_hi = c_lo + min(L, anchor + W) - max(0, anchor - BW + W)
+                if j.comp:
+                    f0, s2 = roff + L - anchor - W, +1
+                else:
+                    f0, s2 = roff + anchor + W - 1, -1
+            meta[3, n] = (RESIDENT_PAD + f0 if s2 > 0
+                          else RESIDENT_PAD + f0 - (BW - 1))
+            meta[4, n] = 0 if s2 > 0 else 1
+            meta[5, n] = 1 if j.comp else 0
+            meta[6, n] = c_lo
+            meta[7, n] = max(c_lo, c_hi)
+            b_span = int(num_k[lane_k[n]]) + W // 2
+            meta[8, n] = min(j.b_rem, b_span)
+            meta[9, n] = lane_k[n]
+        return extend_batch_resident_async(tgt_res, qry_res, meta, num_k,
+                                           R=R, W=W)
 
     def _drain(self):
         from concurrent.futures import ThreadPoolExecutor
@@ -706,6 +848,27 @@ def _cached_index(codes, offsets, lengths, k, mask_intervals) -> KmerIndex:
     return idx
 
 
+#: id(query list) → (flat codes, offsets, keep-alive): resident dispatch
+#: needs the queries as one flat store; repeated calls with the same
+#: list (bench trials, warmup) reuse the concatenation
+_FLAT_QUERY_CACHE: dict = {}
+
+
+def _flat_query_store(queries: list) -> tuple:
+    key = id(queries)
+    hit = _FLAT_QUERY_CACHE.get(key)
+    if hit is not None and hit[2] is queries:
+        return hit[0], hit[1]
+    lens = np.array([len(q) for q in queries], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    flat = (np.concatenate([np.asarray(q, dtype=np.uint8) for q in queries])
+            if queries else np.zeros(0, np.uint8))
+    if len(_FLAT_QUERY_CACHE) >= 4:
+        _FLAT_QUERY_CACHE.pop(next(iter(_FLAT_QUERY_CACHE)))
+    _FLAT_QUERY_CACHE[key] = (flat, offs, queries)
+    return flat, offs
+
+
 def align_store_pair(
     target_codes: np.ndarray,
     target_offsets: np.ndarray,
@@ -716,6 +879,7 @@ def align_store_pair(
     mask_intervals: np.ndarray | None = None,
     self_alignment: bool = False,
     mesh=None,
+    query_store=None,
 ) -> LocalAlignmentSet:
     """Align every query against the target store; returns sorted LAs.
 
@@ -724,11 +888,21 @@ def align_store_pair(
     self-comparison semantics).  ``mesh`` (>1 device) runs every
     extension dispatch data-parallel over the mesh with allgathered
     outputs; results are identical to the single-device path.
+
+    ``query_store`` — optional ``(codes, offsets)`` (or an object with
+    those attributes) of the flat store the query ids index into; it
+    enables the device-resident dispatch path.  Without it the store is
+    derived from ``queries`` when the ids are the default 1..n.
     """
     cfg = config or AlignerConfig()
     index = _cached_index(target_codes, target_offsets, target_lengths, cfg.k,
                           mask_intervals)
-    aligner = Aligner(index, target_codes, cfg, mesh=mesh)
+    if query_store is not None and not isinstance(query_store, tuple):
+        query_store = (query_store.codes, query_store.offsets)
+    if query_store is None and query_ids is None:
+        query_store = _flat_query_store(queries)
+    aligner = Aligner(index, target_codes, cfg, mesh=mesh,
+                      query_store=query_store)
     ids = query_ids or list(range(1, len(queries) + 1))
     aligner.align_queries([np.asarray(q, dtype=np.uint8) for q in queries], ids,
                           exclude_identity=self_alignment)

@@ -350,6 +350,141 @@ def _nw_round_kernel(tpl, t_lens, reads, read_lens, centers,
          covered.astype(jnp.int32)[:, None]], axis=1)
 
 
+#: sparse-block caps: events beyond these flip the lane's overflow flag
+#: and it is re-fetched through the dense kernel (error rates would have
+#: to exceed ~19 % mismatch+del or ~19 % insertion-boundary density —
+#: far past the pile-up reads' ~13 % total error)
+_CAP_E = 16  # jpath delta escapes (>14 read chars across one boundary)
+
+
+def _sparse_caps(T: int) -> tuple[int, int]:
+    return 3 * T // 16, 3 * T // 16  # (sym events, ins-boundary events)
+
+
+def _sparse_words(T: int, NWIN: int) -> int:
+    """int32 words per lane of the sparse result block."""
+    nbytes = (T // 2 + 2 * _CAP_E + T // 8 + 3 * T // 64 + (T // 8 + 4)
+              + 2 * (3 * T // 16))
+    return nbytes // 4 + 6 + NWIN
+
+
+def _packbits_dev(m):
+    """(N, X) bool, X % 8 == 0 → (N, X//8) u8; bit k of byte i = col 8i+k
+    (numpy ``unpackbits(bitorder="little")`` order)."""
+    N, X = m.shape
+    b = m.reshape(N, X // 8, 8).astype(jnp.int32)
+    w = (b << jnp.arange(8, dtype=jnp.int32)[None, None, :]).sum(axis=2)
+    return w.astype(jnp.uint8)
+
+
+def _scatter_events(ev, payload, cap: int, dtype):
+    """Compact per-lane events (left-to-right) into ``(N, cap)`` slots.
+
+    Returns ``(slots, count)``; events past ``cap`` are dropped (the
+    caller checks ``count > cap`` for overflow)."""
+    N = ev.shape[0]
+    idx = jnp.cumsum(ev.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(ev & (idx < cap), idx, cap)
+    slots = jnp.zeros((N, cap + 1), dtype).at[
+        jnp.arange(N)[:, None], dst].max(jnp.where(ev, payload, 0).astype(dtype))
+    count = jnp.where(ev.any(axis=1), idx[:, -1] + 1, 0)
+    return slots[:, :cap], count
+
+
+@functools.partial(jax.jit, static_argnames=("T", "RL", "W", "S", "NWIN",
+                                             "lead_free"))
+def _nw_round_packed_sparse(chars_pack, meta, T: int, RL: int, W: int, S: int,
+                            NWIN: int, lead_free: int = -1):
+    """:func:`_nw_round_packed` with a SPARSE result block.
+
+    The dense block ships ~4.6·T bytes/lane over the device tunnel; at
+    ~13 % read error its information content is ~10× lower.  This
+    variant emits, per lane:
+
+    - ``jpath`` as 4-bit deltas over the covered boundary range (+ a
+      u16 escape list for deltas > 14) — exact reconstruction from
+      ``jp_base`` by prefix sum;
+    - sym as a divergence **bitmask** vs the template (covered columns
+      equal the template unless flagged) + 2-bit codes ranking the
+      event value among the 4 non-template symbols;
+    - insertions as a boundary bitmask + the 12-bit slot pack per
+      flagged boundary;
+    - the usual spans/diffs/win/covered plus an overflow flag.
+
+    ~1.2·T bytes/lane; the host decoder rebuilds the EXACT dense arrays
+    (``_collect_chunk_sparse``), so downstream voting/polish logic is
+    byte-identical.  Lanes whose event counts exceed the caps are
+    re-fetched through the dense kernel by the round executor.
+    """
+    from .banded import _unpack2bit
+
+    N = meta.shape[0] // 3
+    TP, RP = T // 4, RL // 4
+    tpl = _unpack2bit(chars_pack[:, :TP]).T  # (T, N)
+    reads = _unpack2bit(chars_pack[:, TP : TP + RP])
+    steps = _unpack2bit(chars_pack[:, TP + RP :]).T.astype(jnp.int32)
+    t_lens = meta[:N]
+    read_lens = meta[N : 2 * N]
+    c0 = meta[2 * N :]
+    centers = jnp.concatenate(
+        [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
+    sym, ins, jpath, spans, diffs, win, covered = _nw_round_parts(
+        tpl, t_lens, reads, read_lens, centers, T=T, W=W, S=S, NWIN=NWIN,
+        lead_free=lead_free)
+
+    CAP_S, CAP_I = _sparse_caps(T)
+    lanesc = jnp.arange(N)
+    colr = jnp.arange(T, dtype=jnp.int32)[None, :]
+    s0 = spans[:, 0].astype(jnp.int32)
+    s1 = spans[:, 1].astype(jnp.int32)
+    in_span = (colr >= s0[:, None]) & (colr < s1[:, None]) & covered[:, None]
+    tplT = tpl.T.astype(jnp.int8)  # (N, T)
+
+    # ---- sym divergence events
+    ev = in_span & (sym != tplT)
+    code = (sym - (sym > tplT)).astype(jnp.int32)  # rank among non-tpl values
+    codes, sym_cnt = _scatter_events(ev, code, CAP_S, jnp.uint8)
+    sym_mask = _packbits_dev(ev)  # (N, T//8)
+    c4 = codes.reshape(N, CAP_S // 4, 4).astype(jnp.int32)
+    sym_codes = (c4[:, :, 0] | (c4[:, :, 1] << 2) | (c4[:, :, 2] << 4)
+                 | (c4[:, :, 3] << 6)).astype(jnp.uint8)
+
+    # ---- insertion-boundary events (12-bit slot pack per boundary)
+    ins_u = ins.astype(jnp.uint16)
+    ins16 = (ins_u[:, :, 0] | (ins_u[:, :, 1] << 3)
+             | (ins_u[:, :, 2] << 6) | (ins_u[:, :, 3] << 9))  # (N, T+1)
+    iev = ins16 != 0
+    ivals, ins_cnt = _scatter_events(iev, ins16.astype(jnp.int32), CAP_I,
+                                     jnp.uint16)
+    iev_pad = jnp.concatenate(
+        [iev, jnp.zeros((N, 31), bool)], axis=1)[:, : T + 32]
+    ins_mask = _packbits_dev(iev_pad)  # (N, T//8 + 4)
+
+    # ---- jpath deltas (4-bit + escapes)
+    d = (jpath[:, 1:] - jpath[:, :-1]).astype(jnp.int32)  # (N, T)
+    jd_in = in_span  # boundary c→c+1 valid iff col c in the covered span
+    d = jnp.where(jd_in, d, 0)
+    esc = d > 14
+    nib = jnp.where(esc, 15, d).astype(jnp.int32)
+    jp_nib = (nib[:, 0::2] | (nib[:, 1::2] << 4)).astype(jnp.uint8)
+    evals, esc_cnt = _scatter_events(esc, jnp.clip(d, 0, 65535), _CAP_E,
+                                     jnp.uint16)
+    jp_base = jnp.take_along_axis(
+        jpath, jnp.clip(s0, 0, T)[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+    ovf = (sym_cnt > CAP_S) | (ins_cnt > CAP_I) | (esc_cnt > _CAP_E)
+    misc = jnp.stack([jp_base, s0, s1, diffs.astype(jnp.int32),
+                      covered.astype(jnp.int32), ovf.astype(jnp.int32)],
+                     axis=1)
+    esc_b = jax.lax.bitcast_convert_type(evals, jnp.uint8).reshape(N, -1)
+    ivals_b = jax.lax.bitcast_convert_type(ivals, jnp.uint8).reshape(N, -1)
+    buf8 = jnp.concatenate(
+        [jp_nib, esc_b, sym_mask, sym_codes, ins_mask, ivals_b], axis=1)
+    words = jax.lax.bitcast_convert_type(
+        buf8.reshape(N, buf8.shape[1] // 4, 4), jnp.int32)
+    return jnp.concatenate([words, misc, win.astype(jnp.int32)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("T", "RL", "W", "S", "NWIN",
                                              "lead_free"))
 def _nw_round_packed(chars_pack, meta, T: int, RL: int, W: int, S: int,
@@ -589,13 +724,38 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
             plan.append((chunk, TB))
     from ..parallel.dp import dispatch_workers
 
+    use_sparse = not os.environ.get("DENTIST_TPU_DENSE_CONS")
+
+    def collect(chunk, TB, arr, cen, only_if_better=False,
+                centers_fn=None):
+        """Sparse decode with dense refetch of cap-overflow lanes (the
+        dense block is exact for any event density; ``centers_fn`` must
+        be the SAME band-center source the decoded dispatch used)."""
+        if not use_sparse:
+            _collect_chunk(lanes, chunk, TB, outs,
+                           only_if_better=only_if_better, fetched=arr,
+                           centers=cen)
+            return
+        ovf = _collect_chunk_sparse(lanes, chunk, TB, outs,
+                                    only_if_better=only_if_better,
+                                    fetched=arr)
+        if ovf:
+            ovf_lanes = [chunk[k] for k in ovf]
+            h2, cen2 = _dispatch_chunk(lanes, ovf_lanes, TB, W,
+                                       centers_fn or centers_for,
+                                       mesh=mesh, dense=True)
+            _collect_chunk(lanes, ovf_lanes, TB, outs,
+                           only_if_better=only_if_better,
+                           fetched=np.asarray(h2), centers=cen2)
+
     with prof("cons.full.dispatch"):
         with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
             # multi-process meshes serialize launches (dispatch_workers=1):
             # every process must enqueue the collectives in the same order
             handles = list(ex.map(
                 lambda t: _dispatch_chunk(lanes, t[0], t[1], W, centers_for,
-                                          mesh=mesh), plan))
+                                          mesh=mesh, dense=not use_sparse),
+                plan))
     with prof("cons.full.fetch"):
         with ThreadPoolExecutor(max_workers=4) as ex:
             # fetch all chunks concurrently: every result fetch pays a full
@@ -606,7 +766,7 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
     retries = []
     for (chunk, TB), (_, cen), arr in zip(plan, handles, fetched):
         with prof("cons.full.collect"):
-            _collect_chunk(lanes, chunk, TB, outs, fetched=arr, centers=cen)
+            collect(chunk, TB, arr, cen)
         # retry uncovered lanes with proportional centers
         retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
         if retry:
@@ -624,12 +784,12 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
 
             retries.append((retry, TB,
                             _dispatch_chunk(lanes, retry, TB, W, prop_for,
-                                            mesh=mesh)))
+                                            mesh=mesh,
+                                            dense=not use_sparse), prop_for))
     with ThreadPoolExecutor(max_workers=4) as ex:
         refetched = list(ex.map(lambda t: np.asarray(t[2][0]), retries))
-    for (retry, TB, (_, cen)), arr in zip(retries, refetched):
-        _collect_chunk(lanes, retry, TB, outs, only_if_better=True,
-                       fetched=arr, centers=cen)
+    for (retry, TB, (_, cen), pf), arr in zip(retries, refetched):
+        collect(retry, TB, arr, cen, only_if_better=True, centers_fn=pf)
 
     # assemble per-job outputs
     with prof("cons.full.assemble"):
@@ -743,14 +903,183 @@ def _nw_window_round(chars_pack, meta, W: int):
     return jax.lax.bitcast_convert_type(buf.reshape(N, _WROW, 4), jnp.int32)
 
 
-def _sharded_nw_window_round(mesh, W: int):
+#: sparse windowed-row caps (events per 126-col interior; means at 13 %
+#: read error are ~8 mismatch/del and ~9 insertion boundaries)
+_WCAP_S, _WCAP_I, _WCAP_E = 32, 24, 4
+#: sparse windowed row: 42 int32 words (168 B) vs the dense 448 B
+_WROW_SPARSE = 42
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _nw_window_round_sparse(chars_pack, meta, W: int):
+    """:func:`_nw_window_round` with a SPARSE interior row (168 B/lane):
+    jpath as 4-bit deltas (+escapes) from a u16 base, sym as a
+    divergence bitmask + 2-bit codes, insertions as a boundary bitmask +
+    12-bit slot packs.  Decoded exactly on the host; cap-overflow lanes
+    are re-fetched through the dense kernel.
+    """
+    from .banded import _unpack2bit
+
+    assert W <= 128
+    N = meta.shape[1]
+    TP, RP = _WS // 4, _SEG // 4
+    tpl = _unpack2bit(chars_pack[:, :TP]).T
+    reads = _unpack2bit(chars_pack[:, TP : TP + RP])
+    steps = _unpack2bit(chars_pack[:, TP + RP :]).T.astype(jnp.int32)
+    t_lens, seg_lens, c0, loc0 = meta[0], meta[1], meta[2], meta[3]
+    centers = jnp.concatenate(
+        [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
+    sym, ins, jpath, _, _, _, _ = _nw_round_parts(
+        tpl, t_lens, reads, seg_lens, centers,
+        T=_WS, W=W, S=_WS + _SEG, NWIN=max(TB_nwin(_WS), 1),
+        lead_free=2 * _LEAD_SLACK)
+    idx_c = loc0[:, None] + jnp.arange(_ADV, dtype=jnp.int32)[None, :]
+    idx_b = loc0[:, None] + jnp.arange(_ADV + 1, dtype=jnp.int32)[None, :]
+    sym_i = jnp.take_along_axis(sym, idx_c, axis=1)  # (N, 126) int8
+    tpl_i = jnp.take_along_axis(tpl.T.astype(jnp.int8), idx_c, axis=1)
+    ins_i = jnp.take_along_axis(ins, idx_b[:, :, None], axis=1).astype(
+        jnp.uint16)
+    jp_i = jnp.take_along_axis(jpath, idx_b, axis=1).astype(jnp.int32)
+
+    # covered interior columns / valid boundaries are contiguous runs
+    ci = sym_i != 5
+    colr = jnp.arange(_ADV, dtype=jnp.int32)[None, :]
+    s0c = jnp.argmax(ci, axis=1).astype(jnp.int32)
+    s1c = _ADV - jnp.argmax(ci[:, ::-1], axis=1).astype(jnp.int32)
+    any_c = ci.any(axis=1)
+    s0c = jnp.where(any_c, s0c, 0)
+    s1c = jnp.where(any_c, s1c, 0)
+    bv = jp_i >= 0
+    bndr = jnp.arange(_ADV + 1, dtype=jnp.int32)[None, :]
+    s0b = jnp.argmax(bv, axis=1).astype(jnp.int32)
+    s1b = _ADV + 1 - jnp.argmax(bv[:, ::-1], axis=1).astype(jnp.int32) - 1
+    any_b = bv.any(axis=1)
+    s0b = jnp.where(any_b, s0b, 0)
+    s1b = jnp.where(any_b, s1b, 0)
+    base = jnp.take_along_axis(jp_i, s0b[:, None], axis=1)[:, 0]
+    base = jnp.clip(jnp.where(any_b, base, 0), 0, 65535)
+
+    # sym events
+    ev = ci & (sym_i != tpl_i)
+    code = (sym_i - (sym_i > tpl_i)).astype(jnp.int32)
+    codes, sym_cnt = _scatter_events(ev, code, _WCAP_S, jnp.uint8)
+    ev_pad = jnp.concatenate([ev, jnp.zeros((N, 2), bool)], axis=1)
+    sym_mask = _packbits_dev(ev_pad)  # 16 B
+    c4 = codes.reshape(N, _WCAP_S // 4, 4).astype(jnp.int32)
+    sym_codes = (c4[:, :, 0] | (c4[:, :, 1] << 2) | (c4[:, :, 2] << 4)
+                 | (c4[:, :, 3] << 6)).astype(jnp.uint8)  # 8 B
+
+    # insertion events
+    ins16 = (ins_i[:, :, 0] | (ins_i[:, :, 1] << 3)
+             | (ins_i[:, :, 2] << 6) | (ins_i[:, :, 3] << 9))  # (N, 127)
+    iev = ins16 != 0
+    ivals, ins_cnt = _scatter_events(iev, ins16.astype(jnp.int32), _WCAP_I,
+                                     jnp.uint16)
+    iev_pad = jnp.concatenate([iev, jnp.zeros((N, 1), bool)], axis=1)
+    ins_mask = _packbits_dev(iev_pad)  # 16 B
+
+    # jpath deltas over valid boundaries
+    d = jp_i[:, 1:] - jp_i[:, :-1]  # (N, 126)
+    jd_in = (colr >= s0b[:, None]) & (colr < s1b[:, None]) & any_b[:, None]
+    d = jnp.where(jd_in, d, 0)
+    esc = d > 14
+    nib = jnp.where(esc, 15, d).astype(jnp.int32)
+    jp_nib = (nib[:, 0::2] | (nib[:, 1::2] << 4)).astype(jnp.uint8)  # 63 B
+    jp_nib = jnp.concatenate([jp_nib, jnp.zeros((N, 1), jnp.uint8)], axis=1)
+    evals, esc_cnt = _scatter_events(esc, jnp.clip(d, 0, 65535), _WCAP_E,
+                                     jnp.uint16)
+
+    ovf = ((sym_cnt > _WCAP_S) | (ins_cnt > _WCAP_I) | (esc_cnt > _WCAP_E))
+    u8 = lambda x: x.astype(jnp.uint8)
+    buf = jnp.concatenate([
+        jp_nib,                                                    # 64
+        jax.lax.bitcast_convert_type(evals, jnp.uint8).reshape(N, -1),  # 8
+        u8(s0b[:, None]), u8(s1b[:, None]),
+        u8(base[:, None] & 0xFF), u8(base[:, None] >> 8),          # 4
+        sym_mask, sym_codes,                                       # 24
+        u8(s0c[:, None]), u8(s1c[:, None]),                        # 2
+        ins_mask,                                                  # 16
+        jax.lax.bitcast_convert_type(ivals, jnp.uint8).reshape(N, -1),  # 48
+        u8(ovf[:, None]), u8(any_b[:, None]),                      # 2
+    ], axis=1)  # 168 B
+    return jax.lax.bitcast_convert_type(
+        buf.reshape(N, _WROW_SPARSE, 4), jnp.int32)
+
+
+def _unpack_window_rows_sparse(packed: np.ndarray, tpl_i: np.ndarray):
+    """Host inverse of :func:`_nw_window_round_sparse`.
+
+    ``tpl_i`` (m, 126): each lane's interior template columns.  Returns
+    (sym, ins, jpath, overflow_mask)."""
+    m = packed.shape[0]
+    buf = np.ascontiguousarray(packed).view(np.uint8).reshape(
+        m, 4 * _WROW_SPARSE)
+    jp_nib = buf[:, :64]
+    esc_vals = buf[:, 64:72].copy().view(np.uint16)
+    s0b = buf[:, 72].astype(np.int64)
+    s1b = buf[:, 73].astype(np.int64)
+    base = buf[:, 74].astype(np.int64) | (buf[:, 75].astype(np.int64) << 8)
+    sym_mask = buf[:, 76:92]
+    sym_codes = buf[:, 92:100]
+    s0c = buf[:, 100].astype(np.int64)
+    s1c = buf[:, 101].astype(np.int64)
+    ins_mask = buf[:, 102:118]
+    ins_vals = buf[:, 118:166].copy().view(np.uint16)
+    ovf = buf[:, 166].astype(bool)
+    any_b = buf[:, 167].astype(bool)
+
+    colr = np.arange(_ADV, dtype=np.int64)[None, :]
+    in_c = (colr >= s0c[:, None]) & (colr < s1c[:, None])
+    sym = np.where(in_c, tpl_i, np.int8(5)).astype(np.int8)
+    ev = np.unpackbits(sym_mask, axis=1, bitorder="little")[:, :_ADV].astype(bool)
+    idx = np.cumsum(ev, axis=1) - 1
+    codes = ((sym_codes[:, :, None] >> np.array([0, 2, 4, 6])) & 3).reshape(m, -1)
+    rr, cc = np.nonzero(ev & (idx < _WCAP_S))
+    cv = codes[rr, idx[rr, cc]].astype(np.int8)
+    tv = tpl_i[rr, cc]
+    sym[rr, cc] = cv + (cv >= tv)
+
+    ins16 = np.zeros((m, _ADV + 1), np.uint16)
+    bev = np.unpackbits(ins_mask, axis=1, bitorder="little")[:, : _ADV + 1].astype(bool)
+    bidx = np.cumsum(bev, axis=1) - 1
+    rr2, cc2 = np.nonzero(bev & (bidx < _WCAP_I))
+    ins16[rr2, cc2] = ins_vals[rr2, bidx[rr2, cc2]]
+    ins = np.empty((m, _ADV + 1, 4), np.int8)
+    for s in range(4):
+        ins[:, :, s] = ((ins16 >> (3 * s)) & 7).astype(np.int8)
+
+    d = np.empty((m, _ADV + 1), np.int64)
+    dn = np.empty((m, 2 * 63), np.int64)
+    dn[:, 0::2] = jp_nib[:, :63] & 0xF
+    dn[:, 1::2] = jp_nib[:, :63] >> 4
+    d[:, :_ADV] = dn[:, :_ADV]
+    d[:, _ADV] = 0
+    jd_in = (np.arange(_ADV + 1)[None, :] < s1b[:, None]) & (
+        np.arange(_ADV + 1)[None, :] >= s0b[:, None])
+    esc = (d == 15) & jd_in
+    eidx = np.cumsum(esc, axis=1) - 1
+    rr3, cc3 = np.nonzero(esc & (eidx < _WCAP_E))
+    d[rr3, cc3] = esc_vals[rr3, eidx[rr3, cc3]]
+    d = np.where(jd_in, d, 0)
+    csp = np.concatenate([np.zeros((m, 1), np.int64),
+                          np.cumsum(d[:, :_ADV], axis=1)], axis=1)
+    base_adj = (base - csp[np.arange(m), np.clip(s0b, 0, _ADV)])[:, None]
+    bnd = np.arange(_ADV + 1, dtype=np.int64)[None, :]
+    bnd_ok = (bnd >= s0b[:, None]) & (bnd <= s1b[:, None])
+    jpath = np.where(bnd_ok & any_b[:, None], base_adj + csp, -1)
+    return sym, ins, jpath, ovf
+
+
+def _sharded_nw_window_round(mesh, W: int, sparse: bool = False):
     """:func:`_nw_window_round` under ``shard_map``: window lanes shard
     on ``dp``, packed rows are allgathered (identical results)."""
-    key = (tuple(d.id for d in mesh.devices.flat), "win", W)
+    key = (tuple(d.id for d in mesh.devices.flat), "win", W, sparse)
     fn = _SHARDED_ROUND_CACHE.get(key)
     if fn is not None:
         return fn
     from jax.sharding import PartitionSpec as P
+
+    kern = _nw_window_round_sparse if sparse else _nw_window_round
 
     @jax.jit
     @functools.partial(
@@ -760,7 +1089,7 @@ def _sharded_nw_window_round(mesh, W: int):
         check_vma=False,
     )
     def step(chars_pack, meta):
-        out = _nw_window_round(chars_pack, meta, W=W)
+        out = kern(chars_pack, meta, W=W)
         return jax.lax.all_gather(out, "dp", axis=0, tiled=True)
 
     _SHARDED_ROUND_CACHE[key] = step
@@ -986,10 +1315,11 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
     slen = np.concatenate(lane_seglen).astype(np.int32)
     loc0 = np.concatenate(lane_loc0).astype(np.int32)
     rows = np.arange(_WS + 1, dtype=np.int32)
+    use_sparse = not os.environ.get("DENTIST_TPU_DENSE_CONS")
 
     from .banded import _pack2bit
 
-    def dispatch(c0, c1):
+    def dispatch(c0, c1, dense=False):
         m = c1 - c0
         # accelerators: ONE windowed shape (per-process program loads
         # cost more than padded lanes); CPU tests keep the ladder
@@ -1017,16 +1347,17 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
         steps[:m] = np.diff(cen, axis=1).clip(0, 2)
         chars_pack = np.concatenate(
             [_pack2bit(tpl_c), _pack2bit(seg_c), _pack2bit(steps)], axis=1)
+        sparse = use_sparse and not dense
         if mesh is not None and mesh.size > 1:
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.dp import stage_global
 
-            return _sharded_nw_window_round(mesh, W)(
+            return _sharded_nw_window_round(mesh, W, sparse=sparse)(
                 stage_global(mesh, P("dp", None), chars_pack),
                 stage_global(mesh, P(None, "dp"), meta))
-        return _nw_window_round(jnp.asarray(chars_pack), jnp.asarray(meta),
-                                W=W)
+        kern = _nw_window_round_sparse if sparse else _nw_window_round
+        return kern(jnp.asarray(chars_pack), jnp.asarray(meta), W=W)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1040,25 +1371,62 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
     with prof("cons.win.fetch"):
         with ThreadPoolExecutor(max_workers=4) as ex:
             arrs = list(ex.map(np.asarray, handles))
+    prof_add("cons.win.fetch", nbytes=sum(a.nbytes for a in arrs), hits=0)
     bnd = np.arange(_ADV + 1, dtype=np.int64)[None, :]
+    intr = np.arange(_ADV, dtype=np.int64)[None, :]
+    ovf_idx: list[int] = []
     for (c0, c1), packed in zip(plan, arrs):
         m = c1 - c0
-        # band centers at the interior boundaries (rows loc0..loc0+126)
-        r = loc0[c0:c1, None] + bnd
-        tl = np.maximum(tlen[c0:c1, None].astype(np.int64), 1)
-        cen_b = np.minimum(r, tl) * slen[c0:c1, None] // tl
-        sym, ins, jp = _unpack_window_rows(packed[:m], cen_b)
+        if use_sparse:
+            tpl_i = tpl[c0 + np.arange(m)[:, None],
+                        loc0[c0:c1, None] + intr].astype(np.int8)
+            sym, ins, jp, ovf = _unpack_window_rows_sparse(packed[:m], tpl_i)
+            if ovf.any():
+                ovf_idx.extend((c0 + np.flatnonzero(ovf)).tolist())
+        else:
+            # band centers at the interior boundaries (rows loc0..loc0+126)
+            r = loc0[c0:c1, None] + bnd
+            tl = np.maximum(tlen[c0:c1, None].astype(np.int64), 1)
+            cen_b = np.minimum(r, tl) * slen[c0:c1, None] // tl
+            sym, ins, jp = _unpack_window_rows(packed[:m], cen_b)
         sym_all[c0:c1] = sym
         ins_all[c0:c1] = ins
         jp_all[c0:c1] = jp
+    if ovf_idx:
+        # cap-overflow lanes (error-dense windows): exact dense refetch.
+        # Rebuild a compacted chunk of just those lanes and dispatch the
+        # dense kernel; per-lane decode then overwrites the sparse rows.
+        sel = np.asarray(ovf_idx, dtype=np.int64)
+        for c0 in range(0, len(sel), _WCHUNK):
+            sub = sel[c0 : c0 + _WCHUNK]
+            save = (tpl[:len(sub)].copy(), seg[:len(sub)].copy(),
+                    tlen[:len(sub)].copy(), slen[:len(sub)].copy(),
+                    loc0[:len(sub)].copy())
+            tpl[:len(sub)] = tpl[sub]
+            seg[:len(sub)] = seg[sub]
+            tlen[:len(sub)] = tlen[sub]
+            slen[:len(sub)] = slen[sub]
+            loc0[:len(sub)] = loc0[sub]
+            packed = np.asarray(dispatch(0, len(sub), dense=True))
+            r = loc0[: len(sub), None] + bnd
+            tl = np.maximum(tlen[: len(sub), None].astype(np.int64), 1)
+            cen_b = np.minimum(r, tl) * slen[: len(sub), None] // tl
+            sym, ins, jp = _unpack_window_rows(packed[: len(sub)], cen_b)
+            sym_all[sub] = sym
+            ins_all[sub] = ins
+            jp_all[sub] = jp
+            (tpl[:len(sub)], seg[:len(sub)], tlen[:len(sub)],
+             slen[:len(sub)], loc0[:len(sub)]) = save
     return sym_all, ins_all, jp_all
 
 
-def _dispatch_chunk(lanes, chunk, TB, W, centers_for, mesh=None):
+def _dispatch_chunk(lanes, chunk, TB, W, centers_for, mesh=None,
+                    dense=False):
     """Assemble + dispatch one chunk; returns ``(handle, centers)`` —
     the async device handle plus the chunk's band centers (the host
     needs them to restore absolute jpath from the packed in-band
-    offsets, see :func:`_collect_chunk`).
+    offsets, see :func:`_collect_chunk`).  ``dense`` selects the dense
+    result block (sparse-cap overflow refetches).
 
     ``centers_for(lane_idx)`` supplies each lane's precomputed
     step-clamped band-center column.  The lane count is padded to one of
@@ -1098,12 +1466,13 @@ def _dispatch_chunk(lanes, chunk, TB, W, centers_for, mesh=None):
 
         from ..parallel.dp import stage_global
 
-        return _sharded_nw_round(mesh, TB, RLB, W, TB + RLB, NWIN)(
+        return _sharded_nw_round(mesh, TB, RLB, W, TB + RLB, NWIN,
+                                 sparse=not dense)(
             stage_global(mesh, P("dp", None), chars_pack),
             stage_global(mesh, P(None, "dp"), meta.reshape(3, N))), centers
-    return _nw_round_packed(jnp.asarray(chars_pack), jnp.asarray(meta),
-                            T=TB, RL=RLB, W=W, S=TB + RLB,
-                            NWIN=NWIN), centers
+    kern = _nw_round_packed if dense else _nw_round_packed_sparse
+    return kern(jnp.asarray(chars_pack), jnp.asarray(meta),
+                T=TB, RL=RLB, W=W, S=TB + RLB, NWIN=NWIN), centers
 
 
 #: compiled sharded consensus kernels keyed by (mesh devices, shape)
@@ -1111,7 +1480,7 @@ _SHARDED_ROUND_CACHE: dict = {}
 
 
 def _sharded_nw_round(mesh, T: int, RL: int, W: int, S: int, NWIN: int,
-                      lead_free: int = -1):
+                      lead_free: int = -1, sparse: bool = False):
     """The consensus realign kernel under ``shard_map`` over ``mesh``.
 
     The mesh-parallel process stage (SURVEY §2.4 "pile-up batches across
@@ -1124,11 +1493,13 @@ def _sharded_nw_round(mesh, T: int, RL: int, W: int, S: int, NWIN: int,
     exactly (asserted by ``tests/test_consensus.py``).
     """
     key = (tuple(d.id for d in mesh.devices.flat), T, RL, W, S, NWIN,
-           lead_free)
+           lead_free, sparse)
     fn = _SHARDED_ROUND_CACHE.get(key)
     if fn is not None:
         return fn
     from jax.sharding import PartitionSpec as P
+
+    kern = _nw_round_packed_sparse if sparse else _nw_round_packed
 
     @jax.jit
     @functools.partial(
@@ -1138,13 +1509,104 @@ def _sharded_nw_round(mesh, T: int, RL: int, W: int, S: int, NWIN: int,
         check_vma=False,  # the trailing all_gather replicates the output
     )
     def step(chars_pack, meta3):
-        out = _nw_round_packed(chars_pack, meta3.reshape(-1),
-                               T=T, RL=RL, W=W, S=S, NWIN=NWIN,
-                               lead_free=lead_free)
+        out = kern(chars_pack, meta3.reshape(-1),
+                   T=T, RL=RL, W=W, S=S, NWIN=NWIN, lead_free=lead_free)
         return jax.lax.all_gather(out, "dp", axis=0, tiled=True)
 
     _SHARDED_ROUND_CACHE[key] = step
     return fn or step
+
+
+def _collect_chunk_sparse(lanes, chunk, TB, outs, only_if_better=False,
+                          fetched=None):
+    """Decode a sparse result block (:func:`_nw_round_packed_sparse`)
+    back into the EXACT dense per-lane arrays of the dense path.
+
+    Returns the chunk-local indices of lanes whose event counts
+    overflowed the sparse caps — the caller re-fetches those through
+    the dense kernel."""
+    T = TB
+    NWIN = max(TB_nwin(T), 1)
+    CAP_S, CAP_I = _sparse_caps(T)
+    m = len(chunk)
+    packed = np.ascontiguousarray(fetched)
+    nbyte_sec = (T // 2 + 2 * _CAP_E + T // 8 + 3 * T // 64 + (T // 8 + 4)
+                 + 2 * (3 * T // 16))
+    u8 = packed[:m, : nbyte_sec // 4].copy().view(np.uint8).reshape(m, -1)
+    misc = packed[:m, nbyte_sec // 4 : nbyte_sec // 4 + 6]
+    win = packed[:m, nbyte_sec // 4 + 6 :]
+    o = 0
+    jp_nib = u8[:, o : o + T // 2]; o += T // 2
+    esc_vals = u8[:, o : o + 2 * _CAP_E].copy().view(np.uint16); o += 2 * _CAP_E
+    sym_mask = u8[:, o : o + T // 8]; o += T // 8
+    sym_codes = u8[:, o : o + 3 * T // 64]; o += 3 * T // 64
+    ins_mask = u8[:, o : o + T // 8 + 4]; o += T // 8 + 4
+    ins_vals = u8[:, o : o + 2 * CAP_I].copy().view(np.uint16)
+
+    jp_base = misc[:, 0].astype(np.int64)
+    s0 = misc[:, 1].astype(np.int64)
+    s1 = misc[:, 2].astype(np.int64)
+    diffs = misc[:, 3]
+    covered = misc[:, 4].astype(bool)
+    ovf = misc[:, 5].astype(bool)
+
+    # per-lane templates (the baseline sym for covered columns)
+    tplmat = np.zeros((m, T), dtype=np.int8)
+    for k, li in enumerate(chunk):
+        template = lanes[li][2]
+        tplmat[k, : len(template)] = template[:T]
+    colr = np.arange(T, dtype=np.int64)[None, :]
+    in_span = (colr >= s0[:, None]) & (colr < s1[:, None]) & covered[:, None]
+
+    # ---- sym
+    sym = np.where(in_span, tplmat, np.int8(5)).astype(np.int8)
+    ev = np.unpackbits(sym_mask, axis=1, bitorder="little")[:, :T].astype(bool)
+    idx = np.cumsum(ev, axis=1) - 1
+    codes = ((sym_codes[:, :, None] >> np.array([0, 2, 4, 6])) & 3).reshape(
+        m, -1)
+    rr, cc = np.nonzero(ev & (idx < CAP_S))
+    cv = codes[rr, idx[rr, cc]].astype(np.int8)
+    tv = tplmat[rr, cc]
+    sym[rr, cc] = cv + (cv >= tv)
+
+    # ---- ins
+    ins16 = np.zeros((m, T + 1), np.uint16)
+    bev = np.unpackbits(ins_mask, axis=1, bitorder="little")[:, : T + 1].astype(bool)
+    bidx = np.cumsum(bev, axis=1) - 1
+    rr2, cc2 = np.nonzero(bev & (bidx < CAP_I))
+    ins16[rr2, cc2] = ins_vals[rr2, bidx[rr2, cc2]]
+    ins = np.empty((m, T + 1, 4), np.int8)
+    for s in range(4):
+        ins[:, :, s] = ((ins16 >> (3 * s)) & 7).astype(np.int8)
+
+    # ---- jpath from deltas
+    d = np.empty((m, T), np.int64)
+    d[:, 0::2] = jp_nib & 0xF
+    d[:, 1::2] = jp_nib >> 4
+    esc = (d == 15) & in_span
+    eidx = np.cumsum(esc, axis=1) - 1
+    rr3, cc3 = np.nonzero(esc & (eidx < _CAP_E))
+    d[rr3, cc3] = esc_vals[rr3, eidx[rr3, cc3]]
+    d = np.where(in_span, d, 0)
+    csp = np.concatenate([np.zeros((m, 1), np.int64),
+                          np.cumsum(d, axis=1)], axis=1)  # (m, T+1)
+    base_adj = (jp_base - csp[np.arange(m), np.clip(s0, 0, T)])[:, None]
+    bnd = np.arange(T + 1, dtype=np.int64)[None, :]
+    bnd_ok = (bnd >= s0[:, None]) & (bnd <= s1[:, None]) & covered[:, None]
+    jpath = np.where(bnd_ok, base_adj + csp, -1)
+
+    overflow = []
+    for k, li in enumerate(chunk):
+        if ovf[k]:
+            overflow.append(k)
+            continue
+        ji, ri = lanes[li][0], lanes[li][1]
+        if only_if_better and not covered[k]:
+            continue
+        outs[(ji, ri)] = (sym[k], ins[k], jpath[k],
+                          np.array([s0[k], s1[k]]), diffs[k], win[k],
+                          bool(covered[k]))
+    return overflow
 
 
 def _collect_chunk(lanes, chunk, TB, outs, only_if_better=False,

@@ -56,6 +56,7 @@ def map_reads(
     config: MapperConfig | None = None,
     mask_intervals: np.ndarray | None = None,
     mesh=None,
+    query_store=None,
 ) -> tuple[LocalAlignmentSet, list[Chain]]:
     """Map reads against the assembly.  Returns (las, chains).
 
@@ -71,6 +72,7 @@ def map_reads(
         las = align_store_pair(
             target_codes, target_offsets, target_lengths, reads, read_ids,
             config=cfg.aligner, mask_intervals=mask_intervals, mesh=mesh,
+            query_store=query_store,
         )
     with prof("map.chain"):
         all_chains, las = chain_local_alignments(las, cfg.chaining)

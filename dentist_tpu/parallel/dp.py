@@ -125,6 +125,12 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def default_mesh() -> Mesh | None:
     """The mesh the pipeline auto-shards over: all devices (all hosts
-    when distributed), or ``None`` when only one device exists."""
+    when distributed), or ``None`` when only one device exists.
+
+    ``DENTIST_TPU_FORCE_SINGLE=1`` forces the single-device path even on
+    a multi-device backend — the reference baseline the multichip dryrun
+    compares whole-pipeline sharded output against."""
+    if os.environ.get("DENTIST_TPU_FORCE_SINGLE"):
+        return None
     init_distributed()
     return make_mesh() if len(jax.devices()) > 1 else None

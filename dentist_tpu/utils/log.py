@@ -51,15 +51,26 @@ def log_json(level: str, **payload) -> None:
         _tee.flush()
 
 
+#: cumulative per-scope wall seconds (bench reads this for the
+#: per-stage BENCH fields; reset with :func:`reset_stage_seconds`)
+STAGE_SECONDS: dict[str, float] = {}
+
+
+def reset_stage_seconds() -> None:
+    STAGE_SECONDS.clear()
+
+
 @contextmanager
 def _timed(name: str):
     t0 = time.perf_counter()
     try:
         yield
     finally:
+        dt = time.perf_counter() - t0
+        STAGE_SECONDS[name] = STAGE_SECONDS.get(name, 0.0) + dt
         log_json(
             "diagnostic",
-            executionTime=int((time.perf_counter() - t0) * 1e7),  # hnsecs, as reference
+            executionTime=int(dt * 1e7),  # hnsecs, as reference
             function=name,
         )
 

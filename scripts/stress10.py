@@ -56,11 +56,27 @@ def main():
           f"({sum(len(r) for r in reads)/1e6:.0f} Mb)", file=sys.stderr,
           flush=True)
 
+    from dentist_tpu.utils.log import STAGE_SECONDS, reset_stage_seconds
+
+    reset_stage_seconds()
     t0 = time.time()
     result = close_gaps(contigs, structure, reads_store, reads,
                         PipelineConfig(read_coverage=20.0))
     pipeline_s = time.time() - t0
     print(f"pipeline {pipeline_s:.0f}s", file=sys.stderr, flush=True)
+    # peak host memory envelope (the reference pins 1.7 GB on its
+    # example, README "Local Execution"; cluster.yml budgets per rule)
+    import resource
+
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    stage_seconds = {
+        "masks": round(STAGE_SECONDS.get("dentist_tpu.pipeline.masks_for", 0.0), 1),
+        "collect": round(STAGE_SECONDS.get("stage.collect", 0.0), 1),
+        "process": round(STAGE_SECONDS.get("stage.process", 0.0), 1),
+        "output": round(STAGE_SECONDS.get("stage.output", 0.0), 1),
+        "validation": round(
+            STAGE_SECONDS.get("dentist_tpu.pipeline._validation_pass", 0.0), 1),
+    }
 
     from dentist_tpu.io.fasta import seq_to_codes
 
@@ -68,7 +84,10 @@ def main():
     stats = check_results(truth, structure, contigs, res_codes)
     js = stats.to_json()
     print(json.dumps({
+        "mb": mb,
         "pipeline_seconds": round(pipeline_s, 1),
+        "stage_seconds": stage_seconds,
+        "peak_rss_gb": round(peak_rss_gb, 2),
         "n_reads": len(reads),
         "numClosedGaps": js["numClosedGaps"],
         "numCorrectGaps": js["numCorrectGaps"],
