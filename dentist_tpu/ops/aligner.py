@@ -414,10 +414,11 @@ class Aligner:
                                          lane_k, W=W, diag_lo=diag_lo,
                                          diag_hi=diag_hi, mesh=self.mesh)
 
-    #: resident (tgt shape, qry shape, W) combos already warm-enqueued
+    #: (arena shape, W) combos already warm-enqueued — the arena shape
+    #: is a backend constant, so this warms ONCE per process
     _RES_WARMED: set = set()
 
-    def _warm_resident(self, tgt_res, qry_res, W):
+    def _warm_resident(self, arena, W):
         """Fire every (R, N) resident-kernel variant concurrently.
 
         Remote compiles/cache loads overlap when enqueued together;
@@ -428,7 +429,7 @@ class Aligner:
 
         if jax.default_backend() == "cpu":
             return  # CPU tests: compiles are local and lazy is cheaper
-        key = (tgt_res.shape, qry_res.shape, W)
+        key = (arena.shape, W)
         if key in Aligner._RES_WARMED:
             return
         Aligner._RES_WARMED.add(key)
@@ -446,7 +447,7 @@ class Aligner:
                     meta[2] = 1
                     try:
                         outs.append(extend_batch_resident_async(
-                            tgt_res, qry_res, meta,
+                            arena, meta,
                             np.full(self._KMAX, R, np.int32), R=R, W=W))
                     except Exception:
                         return
@@ -470,15 +471,17 @@ class Aligner:
         byte-identical inputs while the tunnel carries 12 int32s per
         lane instead of the ~7 KB of assembled window chars.
         """
-        from .banded import (DIAG_UNBOUNDED, RESIDENT_PAD, bw_for,
-                             extend_batch_resident_async, resident_codes)
+        from .banded import (ARENA, DIAG_UNBOUNDED, bw_for,
+                             extend_batch_resident_async)
 
         BW = bw_for(R, W)
-        tgt_res = resident_codes(self.target_codes)
         q_codes = self._query_store[0]
-        qry_res = (tgt_res if q_codes is self.target_codes
-                   else resident_codes(q_codes))
-        self._warm_resident(tgt_res, qry_res, W)
+        with ARENA.lock:  # both offsets + array from one arena state
+            tgt_base = ARENA.offset_of(self.target_codes)
+            q_base = (tgt_base if q_codes is self.target_codes
+                      else ARENA.offset_of(q_codes))
+            arena = ARENA.array
+        self._warm_resident(arena, W)
         meta = np.zeros((12, N), dtype=np.int32)
         meta[10] = -DIAG_UNBOUNDED
         meta[11] = DIAG_UNBOUNDED
@@ -490,14 +493,14 @@ class Aligner:
                     meta[10, n] = -(j.self_unit - 1)
             fwd = j.direction > 0
             # A window: rows consume target chars outward from the anchor
-            meta[0, n] = (RESIDENT_PAD + j.a_abs0 if fwd
-                          else RESIDENT_PAD + j.a_abs0 - R)
+            meta[0, n] = (tgt_base + j.a_abs0 if fwd
+                          else tgt_base + j.a_abs0 - R)
             meta[1, n] = 0 if fwd else 1
             meta[2, n] = j.r_valid
             # B window: column c holds oriented-query char jb(c); the
             # oriented index maps to the raw read as (L-1-jb) when the
             # query is the reverse complement
-            anchor, L, roff = j.b_anchor, j.q_len, j.q_roff
+            anchor, L, roff = j.b_anchor, j.q_len, q_base + j.q_roff
             if fwd:
                 c_lo = max(0, W - anchor)
                 c_hi = c_lo + min(L, anchor + BW - W) - max(0, anchor - W)
@@ -512,8 +515,7 @@ class Aligner:
                     f0, s2 = roff + L - anchor - W, +1
                 else:
                     f0, s2 = roff + anchor + W - 1, -1
-            meta[3, n] = (RESIDENT_PAD + f0 if s2 > 0
-                          else RESIDENT_PAD + f0 - (BW - 1))
+            meta[3, n] = f0 if s2 > 0 else f0 - (BW - 1)
             meta[4, n] = 0 if s2 > 0 else 1
             meta[5, n] = 1 if j.comp else 0
             meta[6, n] = c_lo
@@ -521,8 +523,7 @@ class Aligner:
             b_span = int(num_k[lane_k[n]]) + W // 2
             meta[8, n] = min(j.b_rem, b_span)
             meta[9, n] = lane_k[n]
-        return extend_batch_resident_async(tgt_res, qry_res, meta, num_k,
-                                           R=R, W=W)
+        return extend_batch_resident_async(arena, meta, num_k, R=R, W=W)
 
     def _drain(self):
         from concurrent.futures import ThreadPoolExecutor

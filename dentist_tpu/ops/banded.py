@@ -334,88 +334,141 @@ def extend_batch_packed_async(a_win, b_win, a_len, b_len, num_k, lane_k,
 
 
 # ======================================================================
-# Device-resident sequence stores: extension windows gathered in HBM
+# Device sequence arena: resident stores, extension windows gathered in HBM
 # ======================================================================
 
-#: padding (zero chars) on each side of a resident store: every window
-#: slice of any bucket fits without clamping (≥ max bucket row count and
-#: ≥ the widest ``bw_for`` B window)
+#: zero margin at the arena start (and kept free at its end): every
+#: window slice of any bucket fits without start clamping (≥ max bucket
+#: row count and ≥ the widest ``bw_for`` B window)
 RESIDENT_PAD = 46464
 
-#: resident length buckets (chars): stores pad up to the next bucket so
-#: every kernel shape is independent of the exact store length (one
-#: compiled program per (bucket, R, N) instead of per store); factor-1.5
-#: steps bound the padded one-time upload waste at ≤50 %
+#: upload-chunk length buckets (chars): uploads pad to the next bucket
+#: so the arena-write program compiles per bucket, not per store length
 _RESIDENT_LADDER = [-(-int(65536 * 1.5 ** k) // 4096) * 4096
                     for k in range(40)]
 
-#: id(codes) → (device u8 array, keep-alive ref).  The pipeline reuses
-#: the same assembly/read stores across warmup + stages, so the one-time
-#: packed upload (2 bit/char over the tunnel) amortizes fully.
-_RESIDENT_CACHE: dict = {}
-_RESIDENT_CACHE_MAX = 4
+
+def _arena_capacity() -> int:
+    """Fixed arena size: the kernels' compiled shapes depend on it, so
+    it must be ONE constant per backend session (a per-store size would
+    mint a fresh compile zoo per scenario — the round-5 profiling trap).
+    """
+    mb = os.environ.get("DENTIST_TPU_ARENA_MB")
+    if mb:
+        return int(mb) << 20
+    import jax
+
+    return (1 << 30) if jax.default_backend() != "cpu" else (1 << 27)
+
+
+class _Arena:
+    """Bump-allocated device u8 store shared by every resident kernel.
+
+    Stores upload 2-bit packed (bucketed lengths) and are unpacked into
+    the arena with ``dynamic_update_slice``.  ``epoch`` increments on
+    reset (arena full); holders of raw offsets must re-upload when it
+    changes.
+    """
+
+    def __init__(self):
+        import threading
+
+        self.array = None
+        self.pos = RESIDENT_PAD
+        self.keys: dict = {}  # id(codes) -> (offset, keepalive)
+        self.epoch = 0
+        #: uploads happen from dispatch-pool threads; unguarded
+        #: concurrent bump allocation would hand out overlapping regions
+        self.lock = threading.RLock()
+
+    def _ensure(self):
+        if self.array is None:
+            self.array = jnp.zeros(_arena_capacity(), jnp.uint8)
+
+    def reset(self):
+        with self.lock:
+            self._reset_locked()
+
+    def _reset_locked(self):
+        self.pos = RESIDENT_PAD
+        self.keys.clear()
+        self.epoch += 1
+        self.array = jnp.zeros(_arena_capacity(), jnp.uint8)
+
+    def offset_of(self, codes: np.ndarray, cache: bool = True) -> int:
+        """Upload ``codes`` (if not already resident); returns its arena
+        offset.  Read ``.array`` AFTER this call — uploads replace it
+        (writes chain, so any later ``.array`` holds this upload)."""
+        with self.lock:
+            self._ensure()
+            key = id(codes)
+            if cache:
+                hit = self.keys.get(key)
+                if hit is not None and hit[1] is codes:
+                    return hit[0]
+            L = len(codes)
+            L4 = -(-max(L, 4) // 4) * 4
+            Lb = next(b for b in _RESIDENT_LADDER if L4 <= b)
+            if self.pos + Lb + RESIDENT_PAD > _arena_capacity():
+                self._reset_locked()
+                if self.pos + Lb + RESIDENT_PAD > _arena_capacity():
+                    raise MemoryError(
+                        f"store of {L} chars exceeds the device arena "
+                        f"({_arena_capacity() >> 20} MiB); raise "
+                        f"DENTIST_TPU_ARENA_MB")
+            host = np.zeros(L4, dtype=np.uint8)
+            host[:L] = codes
+            packed = np.zeros(Lb // 4, dtype=np.uint8)
+            packed[: L4 // 4] = _pack2bit(host.reshape(1, -1))[0]
+            off = self.pos
+            self.array = _arena_write(self.array, jnp.asarray(packed),
+                                      jnp.int32(off), Lb=Lb)
+            self.pos += Lb
+            if cache:
+                self.keys[key] = (off, codes)
+            return off
 
 
 @functools.partial(jax.jit, static_argnames=("Lb",))
-def _resident_build(packed, Lb: int):
-    """Unpack a 2-bit store upload into the padded resident u8 array."""
+def _arena_write(arena, packed, off, Lb: int):
+    # NOT donated: in-flight async dispatches may still read the old
+    # arena (donation deletes their input buffer); the full-array copy
+    # runs at HBM bandwidth on device — only ``packed`` crosses the
+    # tunnel
     u = _unpack2bit(packed[None, :])[0]
-    return jnp.pad(u, (RESIDENT_PAD, Lb - u.shape[0] + RESIDENT_PAD))
+    return jax.lax.dynamic_update_slice(arena, u, (off,))
 
 
-def resident_codes(codes: np.ndarray):
-    """Device-resident padded u8 copy of a flat code array (cached).
-
-    The store travels 2-bit packed (one quarter of the bytes the
-    per-lane host windows used to ship **per flush**) and lives in HBM
-    for every subsequent dispatch — the tunnel then carries ~48 B of
-    window metadata per lane instead of the window chars themselves.
-    """
-    key = id(codes)
-    hit = _RESIDENT_CACHE.get(key)
-    if hit is not None and hit[1] is codes:
-        return hit[0]
-    L = len(codes)
-    L4 = -(-max(L, 4) // 4) * 4
-    host = np.zeros(L4, dtype=np.uint8)
-    host[:L] = codes
-    Lb = next(b for b in _RESIDENT_LADDER if L4 <= b)
-    # the upload is padded to the bucket on the host so the unpack
-    # program's input shape is bucketed too (no per-store compiles)
-    packed = np.zeros(Lb // 4, dtype=np.uint8)
-    packed[: L4 // 4] = _pack2bit(host.reshape(1, -1))[0]
-    dev = _resident_build(jnp.asarray(packed), Lb=Lb)
-    if len(_RESIDENT_CACHE) >= _RESIDENT_CACHE_MAX:
-        _RESIDENT_CACHE.pop(next(iter(_RESIDENT_CACHE)))
-    _RESIDENT_CACHE[key] = (dev, codes)
-    return dev
+ARENA = _Arena()
 
 
 @functools.partial(jax.jit, static_argnames=("R", "N", "K", "W", "BW",
                                              "bound_diag"))
-def _extend_scan_v3_resident(tgt, qry, meta12, num_k, R: int, N: int, K: int,
+def _extend_scan_v3_resident(arena, meta12, num_k, R: int, N: int, K: int,
                              W: int, BW: int, bound_diag: bool = True):
-    """:func:`_extend_scan_v3` fed from device-resident stores.
+    """:func:`_extend_scan_v3` fed from the device sequence arena.
 
     ``meta12`` (12, N) int32 rows: a_start, a_rev, a_len, b_start, b_rev,
     b_flip, c_lo, c_hi, b_len, lane_k, diag_lo, diag_hi.  Start indices
-    are absolute into the padded resident arrays; the A/B windows the
-    host used to assemble (and ship) per lane are gathered here as N
-    contiguous slices (one XLA gather each), reversed/complemented per
-    lane, and zero-masked outside the valid range — byte-identical
-    inputs to the host-window path, hence byte-identical outputs.
+    are absolute into the arena; the A/B windows the host used to
+    assemble (and ship) per lane are gathered here as N contiguous
+    slices (one XLA gather each), reversed/complemented per lane, and
+    zero-masked outside the valid range — byte-identical inputs to the
+    host-window path, hence byte-identical outputs.  The arena shape is
+    a backend constant, so this compiles once per (R, N) — like the
+    host-window kernels, unlike per-store resident arrays.
     """
     (a_start, a_rev, a_len, b_start, b_rev, b_flip, c_lo, c_hi, b_len,
      lane_k, diag_lo, diag_hi) = meta12
 
     a_rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(tgt, (s,), (R,)))(a_start)  # (N, R)
+        lambda s: jax.lax.dynamic_slice(arena, (s,), (R,)))(a_start)  # (N, R)
     a_rows = jnp.where(a_rev[:, None] == 1, a_rows[:, ::-1], a_rows)
     r_idx = jnp.arange(R, dtype=jnp.int32)
     a_rows = jnp.where(r_idx[None, :] < a_len[:, None], a_rows, 0)
 
     b_rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(qry, (s,), (BW,)))(b_start)  # (N, BW)
+        lambda s: jax.lax.dynamic_slice(arena, (s,), (BW,)))(b_start)  # (N, BW)
     b_rows = jnp.where(b_rev[:, None] == 1, b_rows[:, ::-1], b_rows)
     b_rows = jnp.where(b_flip[:, None] == 1, 3 - b_rows, b_rows)
     c = jnp.arange(BW, dtype=jnp.int32)
@@ -428,9 +481,9 @@ def _extend_scan_v3_resident(tgt, qry, meta12, num_k, R: int, N: int, K: int,
                            diag_lo, diag_hi, W=W, bound_diag=bound_diag)
 
 
-def extend_batch_resident_async(tgt_res, qry_res, meta12: np.ndarray,
+def extend_batch_resident_async(arena, meta12: np.ndarray,
                                 num_k: np.ndarray, R: int, W: int = 256):
-    """Dispatch the extension against device-resident stores.
+    """Dispatch the extension against the device arena.
 
     ``meta12`` — see :func:`_extend_scan_v3_resident`; consume the packed
     result via :func:`unpack_extension`.  Single-device only (the mesh
@@ -440,7 +493,7 @@ def extend_batch_resident_async(tgt_res, qry_res, meta12: np.ndarray,
     bound_diag = bool(np.any(meta12[10] != -DIAG_UNBOUNDED)
                       or np.any(meta12[11] != DIAG_UNBOUNDED))
     return _extend_scan_v3_resident(
-        tgt_res, qry_res, jnp.asarray(meta12),
+        arena, jnp.asarray(meta12),
         jnp.asarray(np.asarray(num_k, dtype=np.int32)),
         R=R, N=N, K=len(num_k), W=W, BW=bw_for(R, W), bound_diag=bound_diag)
 

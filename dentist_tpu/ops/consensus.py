@@ -553,6 +553,10 @@ class _ConsJob:
     prev: _RoundOut | None = None
     dirty: np.ndarray | None = None
     reads_arr: np.ndarray | None = None  # (n, RL) uint8 cache
+    #: device-resident flat cropped-read store + this job's per-read
+    #: offsets into it (enables metadata-only windowed dispatches)
+    seg_res: object = None
+    read_offs: np.ndarray | None = None
 
     def reads_u8(self) -> np.ndarray:
         if self.reads_arr is None:
@@ -562,6 +566,26 @@ class _ConsJob:
                 arr[ni, : len(r)] = r
             self.reads_arr = arr
         return self.reads_arr
+
+
+class _ArenaRef:
+    """A store uploaded to the device arena, re-uploaded transparently
+    if the arena was reset (epoch change) since."""
+
+    def __init__(self, codes: np.ndarray):
+        from .banded import ARENA
+
+        self.codes = codes
+        self.base = ARENA.offset_of(codes, cache=False)
+        self.epoch = ARENA.epoch
+
+    def offset(self) -> int:
+        from .banded import ARENA
+
+        if ARENA.epoch != self.epoch:
+            self.base = ARENA.offset_of(self.codes, cache=False)
+            self.epoch = ARENA.epoch
+        return self.base
 
 
 def _as_jobs(jobs) -> "list[_ConsJob]":
@@ -867,7 +891,6 @@ def _nw_window_round(chars_pack, meta, W: int):
     from .banded import _unpack2bit
 
     assert W <= 128, "byte-packed jpath offsets require the W=128 band"
-    N = meta.shape[1]
     TP, RP = _WS // 4, _SEG // 4
     tpl = _unpack2bit(chars_pack[:, :TP]).T
     reads = _unpack2bit(chars_pack[:, TP : TP + RP])
@@ -875,6 +898,12 @@ def _nw_window_round(chars_pack, meta, W: int):
     t_lens, seg_lens, c0, loc0 = meta[0], meta[1], meta[2], meta[3]
     centers = jnp.concatenate(
         [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
+    return _window_dense_pack(tpl, reads, t_lens, seg_lens, centers, loc0, W)
+
+
+def _window_dense_pack(tpl, reads, t_lens, seg_lens, centers, loc0, W):
+    """Shared core: window DP + the DENSE interior row (448 B/lane)."""
+    N = reads.shape[0]
     sym, ins, jpath, _, _, _, _ = _nw_round_parts(
         tpl, t_lens, reads, seg_lens, centers,
         T=_WS, W=W, S=_WS + _SEG, NWIN=max(TB_nwin(_WS), 1),
@@ -903,6 +932,40 @@ def _nw_window_round(chars_pack, meta, W: int):
     return jax.lax.bitcast_convert_type(buf.reshape(N, _WROW, 4), jnp.int32)
 
 
+def _window_resident_inputs(arena, meta):
+    """Build (tpl, reads, t_lens, seg_lens, centers, loc0) from the
+    device arena + per-lane coordinates (see
+    :func:`_nw_window_round_resident`)."""
+    t_lens, seg_lens, loc0, tpl_start, seg_start = (
+        meta[0], meta[1], meta[2], meta[3], meta[4])
+    N = meta.shape[1]
+    tpl_rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(arena, (s,), (_WS,)))(tpl_start)
+    colw = jnp.arange(_WS, dtype=jnp.int32)[None, :]
+    tpl_rows = jnp.where(colw < t_lens[:, None], tpl_rows, 0)
+    seg_rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(arena, (s,), (_SEG,)))(seg_start)
+    cols = jnp.arange(_SEG, dtype=jnp.int32)[None, :]
+    seg_rows = jnp.where(cols < seg_lens[:, None], seg_rows, 0)
+    # proportional centers, exactly as the host dispatch computes them
+    rows = jnp.arange(_WS + 1, dtype=jnp.int32)[None, :]
+    tl = jnp.maximum(t_lens, 1)[:, None]
+    cen = (jnp.minimum(rows, tl) * seg_lens[:, None]) // tl
+    steps = jnp.clip(cen[:, 1:] - cen[:, :-1], 0, 2)
+    centers = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32),
+         jnp.cumsum(steps, axis=1)], axis=1).T  # (_WS+1, N), row0 = 0
+    return tpl_rows.T, seg_rows, t_lens, seg_lens, centers, loc0
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _nw_window_round_resident_dense(arena, meta, W: int):
+    """Dense-row variant of :func:`_nw_window_round_resident` (overflow
+    refetches in resident mode)."""
+    assert W <= 128
+    return _window_dense_pack(*_window_resident_inputs(arena, meta), W)
+
+
 #: sparse windowed-row caps (events per 126-col interior; means at 13 %
 #: read error are ~8 mismatch/del and ~9 insertion boundaries)
 _WCAP_S, _WCAP_I, _WCAP_E = 32, 24, 4
@@ -929,6 +992,27 @@ def _nw_window_round_sparse(chars_pack, meta, W: int):
     t_lens, seg_lens, c0, loc0 = meta[0], meta[1], meta[2], meta[3]
     centers = jnp.concatenate(
         [c0[None, :], c0[None, :] + jnp.cumsum(steps, axis=0)], axis=0)
+    return _window_sparse_pack(tpl, reads, t_lens, seg_lens, centers, loc0, W)
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _nw_window_round_resident(arena, meta, W: int):
+    """Windowed realign against the DEVICE ARENA: per-round templates
+    and the per-batch cropped-read store live in HBM; the tunnel ships
+    5 int32s of window coordinates per lane instead of the 192 B of
+    2-bit window chars.  Band centers are the proportional schedule,
+    computed on device with the dispatch's exact integer formula.
+    ``meta`` (5, N) int32 = [t_lens; seg_lens; loc0; tpl_start;
+    seg_start] (starts absolute into the arena).  Output row =
+    :func:`_nw_window_round_sparse`'s.
+    """
+    assert W <= 128
+    return _window_sparse_pack(*_window_resident_inputs(arena, meta), W)
+
+
+def _window_sparse_pack(tpl, reads, t_lens, seg_lens, centers, loc0, W):
+    """Shared core: run the window DP and emit the sparse interior row."""
+    N = reads.shape[0]
     sym, ins, jpath, _, _, _, _ = _nw_round_parts(
         tpl, t_lens, reads, seg_lens, centers,
         T=_WS, W=W, S=_WS + _SEG, NWIN=max(TB_nwin(_WS), 1),
@@ -1148,9 +1232,19 @@ def _run_round_windowed(jobs, W: int, mesh=None):
     jobs = _as_jobs(jobs)
     lane_tpl, lane_seg = [], []
     lane_tlen, lane_seglen, lane_loc0 = [], [], []
+    lane_tstart, lane_sstart = [], []
     per_job = []  # (rr, kk, i0, kend, b0, b1, jlo_s, lane_offset)
     failures: list[tuple[int, int]] = []
     total = 0
+    # resident mode: the cropped reads live on device (batch upload) and
+    # the templates upload once per call — lanes then ship coordinates
+    res_mode = (bool(jobs) and (mesh is None or mesh.size <= 1)
+                and all(j.seg_res is not None and j.read_offs is not None
+                        for j in jobs))
+    tpl_bases = None
+    if res_mode:
+        tpl_bases = np.concatenate(
+            [[0], np.cumsum([len(j.template) for j in jobs])])[:-1]
     _t_build = __import__("time").perf_counter()
     for wi, job in enumerate(jobs):
         template, reads, jp = job.template, job.reads, job.jpath
@@ -1193,12 +1287,16 @@ def _run_round_windowed(jobs, W: int, mesh=None):
         tmask = tidx < b1[kk][:, None]
         lane_tpl.append(np.where(
             tmask, template[np.minimum(tidx, max(T - 1, 0))], 0).astype(np.uint8))
-        reads_arr = job.reads_u8()
-        RL = reads_arr.shape[1]
-        sidx = jl[:, None] + np.arange(_SEG)[None, :]
-        smask = np.arange(_SEG)[None, :] < seg_len[:, None]
-        lane_seg.append(np.where(
-            smask, reads_arr[rr[:, None], np.minimum(sidx, RL - 1)], 0))
+        if res_mode:
+            lane_tstart.append(tpl_bases[wi] + b0[kk])
+            lane_sstart.append(job.read_offs[rr] + jl)
+        else:
+            reads_arr = job.reads_u8()
+            RL = reads_arr.shape[1]
+            sidx = jl[:, None] + np.arange(_SEG)[None, :]
+            smask = np.arange(_SEG)[None, :] < seg_len[:, None]
+            lane_seg.append(np.where(
+                smask, reads_arr[rr[:, None], np.minimum(sidx, RL - 1)], 0))
         lane_tlen.append(t_len)
         lane_seglen.append(seg_len)
         lane_loc0.append((i0 - b0)[kk])
@@ -1207,10 +1305,16 @@ def _run_round_windowed(jobs, W: int, mesh=None):
 
     prof_add("cons.win.build", __import__("time").perf_counter() - _t_build,
              hits=len(jobs))
+    resident = None
+    if res_mode:
+        resident = (jobs[0].seg_res,
+                    np.concatenate([j.template for j in jobs])
+                    if jobs else np.zeros(0, np.uint8),
+                    lane_tstart, lane_sstart)
     with prof("cons.win.dispatch+fetch", nbytes=total * 4 * _WROW):
         fetched = _dispatch_windowed_lanes(
             lane_tpl, lane_tlen, lane_seg, lane_seglen, lane_loc0, total, W,
-            mesh)
+            mesh, resident=resident)
     prof_add("cons.win.lanes", hits=total)
 
     _t_stitch = __import__("time").perf_counter()
@@ -1300,7 +1404,8 @@ _WCHUNK = 2048
 
 
 def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
-                             lane_loc0, total: int, W: int, mesh=None):
+                             lane_loc0, total: int, W: int, mesh=None,
+                             resident=None):
     """Dispatch all window lanes in fixed-shape chunks with overlapped
     fetches; returns stacked interior-only (sym, ins, jpath) host arrays
     (see :func:`_nw_window_round` for the packed row layout)."""
@@ -1310,39 +1415,62 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
     if total == 0:
         return sym_all, ins_all, jp_all
     tpl = np.concatenate(lane_tpl)
-    seg = np.concatenate(lane_seg)
     tlen = np.concatenate(lane_tlen).astype(np.int32)
     slen = np.concatenate(lane_seglen).astype(np.int32)
     loc0 = np.concatenate(lane_loc0).astype(np.int32)
     rows = np.arange(_WS + 1, dtype=np.int32)
     use_sparse = not os.environ.get("DENTIST_TPU_DENSE_CONS")
+    seg = arena = tstart = sstart = None
+    if resident is not None:
+        from .banded import ARENA
+
+        seg_ref, tpl_flat, lane_tstart, lane_sstart = resident
+        with ARENA.lock:  # both offsets + array from one arena state
+            seg_base = seg_ref.offset()
+            tpl_base = ARENA.offset_of(tpl_flat, cache=False)
+            arena = ARENA.array
+        tstart = np.concatenate(lane_tstart).astype(np.int32) + tpl_base
+        sstart = np.concatenate(lane_sstart).astype(np.int32) + seg_base
+    else:
+        seg = np.concatenate(lane_seg)
 
     from .banded import _pack2bit
 
-    def dispatch(c0, c1, dense=False):
-        m = c1 - c0
+    def dispatch(sel, dense=False):
+        m = len(sel)
         # accelerators: ONE windowed shape (per-process program loads
         # cost more than padded lanes); CPU tests keep the ladder
         Nc = (_WCHUNK if _is_accel()
               else next((b for b in _N_LADDER if m <= b <= _WCHUNK), _WCHUNK))
         if mesh is not None and mesh.size > 1 and Nc % mesh.size:
             Nc = -(-Nc // mesh.size) * mesh.size  # non-power-of-2 meshes
+        if resident is not None:
+            meta = np.zeros((5, Nc), np.int32)
+            meta[0] = 1
+            meta[0, :m] = tlen[sel]
+            meta[1, :m] = slen[sel]
+            meta[2, :m] = loc0[sel]
+            meta[3, :m] = tstart[sel]
+            meta[4, :m] = sstart[sel]
+            kern = (_nw_window_round_resident_dense if dense
+                    else _nw_window_round_resident)
+            return kern(arena, jnp.asarray(meta), W=W)
         tpl_c = np.zeros((Nc, _WS), np.uint8)
         seg_c = np.zeros((Nc, _SEG), np.uint8)
         meta = np.zeros((4, Nc), np.int32)
         meta[0] = 1
-        tpl_c[:m] = tpl[c0:c1]
-        seg_c[:m] = seg[c0:c1]
-        meta[0, :m] = tlen[c0:c1]
-        meta[1, :m] = slen[c0:c1]
-        meta[3, :m] = loc0[c0:c1]
+        tpl_c[:m] = tpl[sel]
+        seg_c[:m] = seg[sel]
+        meta[0, :m] = tlen[sel]
+        meta[1, :m] = slen[sel]
+        meta[3, :m] = loc0[sel]
         # proportional band-center steps, computed directly per chunk:
         # c(r) = min(r, tlen)·slen // tlen has steps in {0, 1, 2} whenever
         # slen ≤ 2·tlen (floor-sequence property); the rare over-slope
         # lane saturates at 2 via the clip, fails coverage, and is
         # retried — same outcome as the former running-min clamp
-        tl = np.maximum(tlen[c0:c1, None], 1)
-        cen = (np.minimum(rows[None, :], tl) * slen[c0:c1, None]) // tl
+        tl = np.maximum(tlen[sel, None], 1)
+        cen = (np.minimum(rows[None, :], tl) * slen[sel, None]) // tl
         steps = np.zeros((Nc, _WS), np.uint8)
         steps[:m] = np.diff(cen, axis=1).clip(0, 2)
         chars_pack = np.concatenate(
@@ -1363,60 +1491,50 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
 
     from ..parallel.dp import dispatch_workers
 
-    plan = [(c0, min(c0 + _WCHUNK, total)) for c0 in range(0, total, _WCHUNK)]
+    plan = [np.arange(c0, min(c0 + _WCHUNK, total))
+            for c0 in range(0, total, _WCHUNK)]
     with prof("cons.win.enqueue"):
         with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
             # launches serialize on multi-process meshes (collective order)
-            handles = list(ex.map(lambda p: dispatch(*p), plan))
+            handles = list(ex.map(dispatch, plan))
     with prof("cons.win.fetch"):
         with ThreadPoolExecutor(max_workers=4) as ex:
             arrs = list(ex.map(np.asarray, handles))
     prof_add("cons.win.fetch", nbytes=sum(a.nbytes for a in arrs), hits=0)
     bnd = np.arange(_ADV + 1, dtype=np.int64)[None, :]
     intr = np.arange(_ADV, dtype=np.int64)[None, :]
+
+    def decode_dense(sel, packed):
+        # band centers at the interior boundaries (rows loc0..loc0+126)
+        r = loc0[sel, None] + bnd
+        tl = np.maximum(tlen[sel, None].astype(np.int64), 1)
+        cen_b = np.minimum(r, tl) * slen[sel, None] // tl
+        return _unpack_window_rows(packed[: len(sel)], cen_b)
+
     ovf_idx: list[int] = []
-    for (c0, c1), packed in zip(plan, arrs):
-        m = c1 - c0
+    for sel, packed in zip(plan, arrs):
+        m = len(sel)
         if use_sparse:
-            tpl_i = tpl[c0 + np.arange(m)[:, None],
-                        loc0[c0:c1, None] + intr].astype(np.int8)
+            tpl_i = tpl[sel[:, None], loc0[sel, None] + intr].astype(np.int8)
             sym, ins, jp, ovf = _unpack_window_rows_sparse(packed[:m], tpl_i)
             if ovf.any():
-                ovf_idx.extend((c0 + np.flatnonzero(ovf)).tolist())
+                ovf_idx.extend(sel[np.flatnonzero(ovf)].tolist())
         else:
-            # band centers at the interior boundaries (rows loc0..loc0+126)
-            r = loc0[c0:c1, None] + bnd
-            tl = np.maximum(tlen[c0:c1, None].astype(np.int64), 1)
-            cen_b = np.minimum(r, tl) * slen[c0:c1, None] // tl
-            sym, ins, jp = _unpack_window_rows(packed[:m], cen_b)
-        sym_all[c0:c1] = sym
-        ins_all[c0:c1] = ins
-        jp_all[c0:c1] = jp
+            sym, ins, jp = decode_dense(sel, packed)
+        sym_all[sel] = sym
+        ins_all[sel] = ins
+        jp_all[sel] = jp
     if ovf_idx:
-        # cap-overflow lanes (error-dense windows): exact dense refetch.
-        # Rebuild a compacted chunk of just those lanes and dispatch the
-        # dense kernel; per-lane decode then overwrites the sparse rows.
-        sel = np.asarray(ovf_idx, dtype=np.int64)
-        for c0 in range(0, len(sel), _WCHUNK):
-            sub = sel[c0 : c0 + _WCHUNK]
-            save = (tpl[:len(sub)].copy(), seg[:len(sub)].copy(),
-                    tlen[:len(sub)].copy(), slen[:len(sub)].copy(),
-                    loc0[:len(sub)].copy())
-            tpl[:len(sub)] = tpl[sub]
-            seg[:len(sub)] = seg[sub]
-            tlen[:len(sub)] = tlen[sub]
-            slen[:len(sub)] = slen[sub]
-            loc0[:len(sub)] = loc0[sub]
-            packed = np.asarray(dispatch(0, len(sub), dense=True))
-            r = loc0[: len(sub), None] + bnd
-            tl = np.maximum(tlen[: len(sub), None].astype(np.int64), 1)
-            cen_b = np.minimum(r, tl) * slen[: len(sub), None] // tl
-            sym, ins, jp = _unpack_window_rows(packed[: len(sub)], cen_b)
+        # cap-overflow lanes (error-dense windows): exact dense refetch
+        # of just those lanes through the dense kernel
+        allsel = np.asarray(ovf_idx, dtype=np.int64)
+        for c0 in range(0, len(allsel), _WCHUNK):
+            sub = allsel[c0 : c0 + _WCHUNK]
+            packed = np.asarray(dispatch(sub, dense=True))
+            sym, ins, jp = decode_dense(sub, packed)
             sym_all[sub] = sym
             ins_all[sub] = ins
             jp_all[sub] = jp
-            (tpl[:len(sub)], seg[:len(sub)], tlen[:len(sub)],
-             slen[:len(sub)], loc0[:len(sub)]) = save
     return sym_all, ins_all, jp_all
 
 
@@ -2254,7 +2372,9 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
                          prev=(states[p]["last_out"]
                                if states[p].get("dirty") is not None else None),
                          dirty=states[p].get("dirty"),
-                         reads_arr=states[p].get("reads_arr"))
+                         reads_arr=states[p].get("reads_arr"),
+                         seg_res=states[p].get("seg_res"),
+                         read_offs=states[p].get("read_offs"))
                 for p in stale]
         for ai, out in enumerate(_run_round(jobs, W, mesh=mesh)):
             p = stale[ai]
@@ -2374,7 +2494,9 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
             jobs = [_ConsJob(states[p]["template"], read_sets[p],
                              states[p]["jpath"], prev=states[p]["last_out"],
                              dirty=dirty_now[p],
-                             reads_arr=states[p]["reads_arr"])
+                             reads_arr=states[p]["reads_arr"],
+                         seg_res=states[p].get("seg_res"),
+                         read_offs=states[p].get("read_offs"))
                     for p in edited]
             for ai, out in enumerate(_run_round(jobs, W, mesh=mesh)):
                 p = edited[ai]
@@ -2522,6 +2644,24 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
     read_sets = [[np.asarray(r, dtype=np.uint8) for r in rs if len(r) > 0]
                  for rs in read_sets]
     results: list[ConsensusResult | None] = [None] * len(read_sets)
+    # device-resident cropped-read store: ONE packed arena upload serves
+    # every windowed realign round of the whole batch (the per-lane read
+    # segments were the rounds' largest input stream)
+    seg_res = None
+    read_offs: list[np.ndarray | None] = [None] * len(read_sets)
+    if (mesh is None or mesh.size <= 1) and not os.environ.get(
+            "DENTIST_TPU_DENSE_CONS"):
+        offs_all, pos = [], 0
+        for rs in read_sets:
+            job_offs = np.empty(len(rs), np.int64)
+            for i, r in enumerate(rs):
+                job_offs[i] = pos
+                pos += len(r)
+            offs_all.append(job_offs)
+        if pos:
+            seg_res = _ArenaRef(
+                np.concatenate([r for rs in read_sets for r in rs]))
+            read_offs = offs_all
     states: list[dict] = []
     for p, reads in enumerate(read_sets):
         triv = _trivial_result(reads)
@@ -2540,7 +2680,8 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
             reads_arr[n, : len(r)] = r
         states.append({"template": template, "jpath": None, "done": False,
                        "last_out": None, "stats_stale": False,
-                       "reads_arr": reads_arr, "dirty": None})
+                       "reads_arr": reads_arr, "dirty": None,
+                       "seg_res": seg_res, "read_offs": read_offs[p]})
 
     live = [p for p in range(len(read_sets)) if results[p] is None]
     for rnd in range(rounds):
@@ -2556,7 +2697,9 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
                          prev=(states[p]["last_out"]
                                if states[p]["dirty"] is not None else None),
                          dirty=states[p]["dirty"],
-                         reads_arr=states[p]["reads_arr"])
+                         reads_arr=states[p]["reads_arr"],
+                         seg_res=states[p].get("seg_res"),
+                         read_offs=states[p].get("read_offs"))
                 for p in active]
         outs = _run_round(jobs, W, mesh=mesh)
         for ai, p in enumerate(active):
@@ -2597,7 +2740,9 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
                          prev=(states[p]["last_out"]
                                if states[p]["dirty"] is not None else None),
                          dirty=states[p]["dirty"],
-                         reads_arr=states[p]["reads_arr"])
+                         reads_arr=states[p]["reads_arr"],
+                         seg_res=states[p].get("seg_res"),
+                         read_offs=states[p].get("read_offs"))
                 for p in stale]
         outs = _run_round(jobs, W, mesh=mesh)
         for ai, p in enumerate(stale):
