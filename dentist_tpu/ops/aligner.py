@@ -365,6 +365,7 @@ class Aligner:
         # padded compute on fragmented flushes
         N = next((lb for lb in _LANE_BUCKETS if len(jobs) <= lb),
                  -(-len(jobs) // _LANE_BUCKETS[-1]) * _LANE_BUCKETS[-1])
+        prof_add(f"map.flush.R{R}.N{N}", hits=len(jobs))
         if self.mesh is not None:  # lanes shard evenly over the dp axis
             N = -(-N // self.mesh.size) * self.mesh.size
         lane_k = np.concatenate([lane_k, np.zeros(N - len(jobs), dtype=np.int32)])
@@ -378,7 +379,12 @@ class Aligner:
         from .banded import DIAG_UNBOUNDED, bw_for, extend_batch_packed_async
 
         if self._use_resident:
-            return self._dispatch_resident(jobs, lane_k, num_k, R, N, W)
+            try:
+                return self._dispatch_resident(jobs, lane_k, num_k, R, N, W)
+            except MemoryError:
+                # stores exceed the device arena: host-window dispatch is
+                # identical (just heavier on the tunnel)
+                self._use_resident = False
         BW = bw_for(R, W)
         a_win = np.zeros((N, R), dtype=np.uint8)
         b_win = np.zeros((N, BW), dtype=np.uint8)

@@ -352,13 +352,16 @@ def _arena_capacity() -> int:
     """Fixed arena size: the kernels' compiled shapes depend on it, so
     it must be ONE constant per backend session (a per-store size would
     mint a fresh compile zoo per scenario — the round-5 profiling trap).
+    Capped below 2^31 (window coordinates travel as int32).  Stores that
+    cannot fit raise; callers fall back to host-window dispatch.
     """
     mb = os.environ.get("DENTIST_TPU_ARENA_MB")
     if mb:
-        return int(mb) << 20
+        return min(int(mb) << 20, (1 << 31) - (1 << 24))
     import jax
 
-    return (1 << 30) if jax.default_backend() != "cpu" else (1 << 27)
+    return ((1 << 31) - (1 << 24) if jax.default_backend() != "cpu"
+            else (1 << 27))
 
 
 class _Arena:

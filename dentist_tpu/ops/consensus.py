@@ -1426,8 +1426,13 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
 
         seg_ref, tpl_flat, lane_tstart, lane_sstart = resident
         with ARENA.lock:  # both offsets + array from one arena state
-            seg_base = seg_ref.offset()
-            tpl_base = ARENA.offset_of(tpl_flat, cache=False)
+            while True:
+                seg_base = seg_ref.offset()
+                tpl_base = ARENA.offset_of(tpl_flat, cache=False)
+                # the template upload may have reset a full arena,
+                # wiping the read store — redo both until stable
+                if ARENA.epoch == seg_ref.epoch:
+                    break
             arena = ARENA.array
         tstart = np.concatenate(lane_tstart).astype(np.int32) + tpl_base
         sstart = np.concatenate(lane_sstart).astype(np.int32) + seg_base
@@ -2542,17 +2547,29 @@ def warm_shapes(W: int = 128, max_workers: int = 4) -> None:
         chars = np.zeros((N, TB // 4 + RLB // 4 + TB // 4), np.uint8)
         meta = np.zeros(3 * N, np.int32)
         meta[:N] = 1
-        np.asarray(_nw_round_packed(
+        # the production round: sparse result block
+        np.asarray(_nw_round_packed_sparse(
             jnp.asarray(chars), jnp.asarray(meta), T=TB, RL=RLB, W=W,
             S=TB + RLB, NWIN=max(TB_nwin(TB), 1)))
 
     def _windowed():
+        # production order: the arena-resident sparse kernel first (all
+        # windowed rounds), then the lane-shipped sparse variant
+        # (non-resident fallback)
+        from .banded import ARENA
+
         N = _WCHUNK
+        with ARENA.lock:
+            ARENA._ensure()
+            arena = ARENA.array
+        meta5 = np.zeros((5, N), np.int32)
+        meta5[0] = 1
+        np.asarray(_nw_window_round_resident(arena, jnp.asarray(meta5), W=W))
         chars = np.zeros((N, _WS // 4 + _SEG // 4 + _WS // 4), np.uint8)
         meta = np.zeros((4, N), np.int32)
         meta[0] = 1
-        np.asarray(_nw_window_round(jnp.asarray(chars), jnp.asarray(meta),
-                                    W=W))
+        np.asarray(_nw_window_round_sparse(jnp.asarray(chars),
+                                           jnp.asarray(meta), W=W))
 
     def _gains(V, NB):
         # the fixed _window_gains_multi geometry: HALF=16, W_score=16
@@ -2659,9 +2676,12 @@ def consensus_batch(read_sets: list[list[np.ndarray]], rounds: int = 3,
                 pos += len(r)
             offs_all.append(job_offs)
         if pos:
-            seg_res = _ArenaRef(
-                np.concatenate([r for rs in read_sets for r in rs]))
-            read_offs = offs_all
+            try:
+                seg_res = _ArenaRef(
+                    np.concatenate([r for rs in read_sets for r in rs]))
+                read_offs = offs_all
+            except MemoryError:
+                seg_res = None  # host-window dispatch (identical results)
     states: list[dict] = []
     for p, reads in enumerate(read_sets):
         triv = _trivial_result(reads)

@@ -55,11 +55,18 @@ def main():
     print(f"datagen {time.time()-t0:.0f}s: {len(e_reads)} reads", file=sys.stderr)
     prof_report()
 
+    from dentist_tpu.utils.log import STAGE_SECONDS, reset_stage_seconds
+
+    reset_stage_seconds()
     t0 = time.time()
     result = close_gaps(e_contigs, e_structure, e_store, e_reads,
                         PipelineConfig(read_coverage=coverage))
     dt = time.time() - t0
     print(f"pipeline: {dt:.1f}s, {result.n_closed_gaps} gaps closed",
+          file=sys.stderr)
+    print("stages:", {k.split(".")[-1]: round(v, 1)
+                      for k, v in sorted(STAGE_SECONDS.items(),
+                                         key=lambda kv: -kv[1])},
           file=sys.stderr)
     prof_report()
 
