@@ -412,34 +412,48 @@ class _Arena:
             L = len(codes)
             L4 = -(-max(L, 4) // 4) * 4
             Lb = next(b for b in _RESIDENT_LADDER if L4 <= b)
-            if self.pos + Lb + RESIDENT_PAD > _arena_capacity():
+            # writes go in whole chunks; the zero tail of the last chunk
+            # lands in not-yet-allocated space (already zero, and the
+            # next region's own write overwrites it)
+            Lw = -(-L4 // _ARENA_CHUNK) * _ARENA_CHUNK
+            if self.pos + max(Lb, Lw) + RESIDENT_PAD > _arena_capacity():
                 self._reset_locked()
-                if self.pos + Lb + RESIDENT_PAD > _arena_capacity():
+                if self.pos + max(Lb, Lw) + RESIDENT_PAD > _arena_capacity():
                     raise MemoryError(
                         f"store of {L} chars exceeds the device arena "
                         f"({_arena_capacity() >> 20} MiB); raise "
                         f"DENTIST_TPU_ARENA_MB")
             host = np.zeros(L4, dtype=np.uint8)
             host[:L] = codes
-            packed = np.zeros(Lb // 4, dtype=np.uint8)
+            packed = np.zeros(Lw // 4, dtype=np.uint8)
             packed[: L4 // 4] = _pack2bit(host.reshape(1, -1))[0]
             off = self.pos
-            self.array = _arena_write(self.array, jnp.asarray(packed),
-                                      jnp.int32(off), Lb=Lb)
+            for c0 in range(0, Lw, _ARENA_CHUNK):
+                self.array = _arena_write_chunk(
+                    self.array,
+                    jnp.asarray(packed[c0 // 4 : (c0 + _ARENA_CHUNK) // 4]),
+                    jnp.int32(off + c0))
             self.pos += Lb
             if cache:
                 self.keys[key] = (off, codes)
             return off
 
 
-@functools.partial(jax.jit, static_argnames=("Lb",))
-def _arena_write(arena, packed, off, Lb: int):
+#: chars per arena-write step: the unpack stays 1-D (a ``(X, 4)``-minor
+#: intermediate is tile-padded 32× on TPU — a 582 Mchar store OOMed HBM)
+_ARENA_CHUNK = 1 << 22
+
+
+@jax.jit
+def _arena_write_chunk(arena, packed_c, off):
     # NOT donated: in-flight async dispatches may still read the old
     # arena (donation deletes their input buffer); the full-array copy
-    # runs at HBM bandwidth on device — only ``packed`` crosses the
-    # tunnel
-    u = _unpack2bit(packed[None, :])[0]
-    return jax.lax.dynamic_update_slice(arena, u, (off,))
+    # runs at HBM bandwidth on device — only ``packed_c`` crosses the
+    # tunnel.  1-D gather unpack: out[i] = (packed[i>>2] >> shift) & 3.
+    idx = jnp.arange(_ARENA_CHUNK, dtype=jnp.int32)
+    shift = (jnp.int32(6) - ((idx & 3) << 1)).astype(jnp.uint8)
+    vals = (packed_c[idx >> 2] >> shift) & 3
+    return jax.lax.dynamic_update_slice(arena, vals, (off,))
 
 
 ARENA = _Arena()
