@@ -165,7 +165,11 @@ def tandem_mask(
 
     cfg = config or AlignerConfig(k=k, min_length=min_alignment,
                                   max_error=max_error)
-    aligner = Aligner(_MetaIndex(), codes, cfg)
+    # query_store = the store itself: tandem rides the resident
+    # (arena) dispatch path and shares the mapping pass's compiled
+    # programs instead of first-touching the host-window family
+    aligner = Aligner(_MetaIndex(), codes, cfg,
+                      query_store=(codes, offsets))
     for i, (o, L) in enumerate(zip(offsets, lengths)):
         seq = codes[o : o + L]
         km = kmer_codes(seq, k)

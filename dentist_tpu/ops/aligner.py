@@ -447,16 +447,19 @@ class Aligner:
             outs = []
             for R in _BUCKETS:
                 for N in _LANE_BUCKETS:
-                    meta = np.zeros((12, N), dtype=np.int32)
-                    meta[10] = -DIAG_UNBOUNDED
-                    meta[11] = DIAG_UNBOUNDED
-                    meta[2] = 1
-                    try:
-                        outs.append(extend_batch_resident_async(
-                            arena, meta,
-                            np.full(self._KMAX, R, np.int32), R=R, W=W))
-                    except Exception:
-                        return
+                    for bound in (False, True):  # tandem uses diag bounds
+                        meta = np.zeros((12, N), dtype=np.int32)
+                        meta[10] = -DIAG_UNBOUNDED
+                        meta[11] = DIAG_UNBOUNDED
+                        meta[2] = 1
+                        if bound:
+                            meta[10, 0] = 0  # force the bound_diag variant
+                        try:
+                            outs.append(extend_batch_resident_async(
+                                arena, meta,
+                                np.full(self._KMAX, R, np.int32), R=R, W=W))
+                        except Exception:
+                            return
             for o in outs:  # materialize so the loads complete
                 try:
                     np.asarray(o)

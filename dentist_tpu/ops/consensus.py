@@ -787,10 +787,15 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
             # (fetches read local shards only — no collective, any order)
             fetched = list(ex.map(lambda h: np.asarray(h[0]), handles))
     prof_add("cons.full.fetch", nbytes=sum(a.nbytes for a in fetched), hits=0)
+    # decode chunks on a pool (numpy releases the GIL in the big
+    # unpack/cumsum passes; serial decode was ~1.7 s/chunk at scale)
+    with prof("cons.full.collect"):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(
+                lambda t: collect(t[0][0], t[0][1], t[2], t[1][1]),
+                zip(plan, handles, fetched)))
     retries = []
     for (chunk, TB), (_, cen), arr in zip(plan, handles, fetched):
-        with prof("cons.full.collect"):
-            collect(chunk, TB, arr, cen)
         # retry uncovered lanes with proportional centers
         retry = [li for li in chunk if not outs[(lanes[li][0], lanes[li][1])][6]]
         if retry:
@@ -1517,7 +1522,9 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
         return _unpack_window_rows(packed[: len(sel)], cen_b)
 
     ovf_idx: list[int] = []
-    for sel, packed in zip(plan, arrs):
+
+    def decode_one(args):
+        sel, packed = args
         m = len(sel)
         if use_sparse:
             tpl_i = tpl[sel[:, None], loc0[sel, None] + intr].astype(np.int8)
@@ -1529,6 +1536,11 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
         sym_all[sel] = sym
         ins_all[sel] = ins
         jp_all[sel] = jp
+
+    # decode on a pool: numpy's unpack/cumsum passes release the GIL,
+    # and the serial loop was ~half the windowed rounds' wall at scale
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(decode_one, zip(plan, arrs)))
     if ovf_idx:
         # cap-overflow lanes (error-dense windows): exact dense refetch
         # of just those lanes through the dense kernel
