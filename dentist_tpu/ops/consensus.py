@@ -764,6 +764,7 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
                                     only_if_better=only_if_better,
                                     fetched=arr)
         if ovf:
+            prof_add("cons.full.ovf_refetch", hits=len(ovf))
             ovf_lanes = [chunk[k] for k in ovf]
             h2, cen2 = _dispatch_chunk(lanes, ovf_lanes, TB, W,
                                        centers_fn or centers_for,
@@ -1544,6 +1545,7 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
     if ovf_idx:
         # cap-overflow lanes (error-dense windows): exact dense refetch
         # of just those lanes through the dense kernel
+        prof_add("cons.win.ovf_refetch", hits=len(ovf_idx))
         allsel = np.asarray(ovf_idx, dtype=np.int64)
         for c0 in range(0, len(allsel), _WCHUNK):
             sub = allsel[c0 : c0 + _WCHUNK]
