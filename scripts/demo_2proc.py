@@ -73,20 +73,35 @@ def main():
             raise SystemExit(1)
         return r.stdout
 
-    # staged front half (shared artifacts): masks -> align -> chain ->
-    # collect, via the staged CLI commands
-    cli("dust", "asm.fasta", "dust.mask.npz")
-    cli("tandem", "asm.fasta", "tan.mask.npz")
-    cli("merge-masks", "pre.mask.npz", "dust.mask.npz", "tan.mask.npz")
-    cli("map", "asm.fasta", "reads.fasta", "reads.las.npz",
-        "--mask", "pre.mask.npz")
-    cli("mask-repetitive-regions", "asm.fasta", "reads.las.npz",
-        "rep.mask.npz", "--read-coverage", "20")
-    cli("collect-pile-ups", "asm.fasta", "reads.fasta", "reads.las.npz",
-        "pile-ups.npz", "--mask", "rep.mask.npz")
-    from dentist_tpu.io.store import load_insertions, load_pile_ups
+    # front half in-process (the shared artifacts the cluster jobs
+    # would read from the filesystem): map -> repeat mask -> collect,
+    # persisted in the staged-CLI container formats
+    from dentist_tpu.io.store import (load_insertions, load_pile_ups,
+                                      save_alignments, save_mask,
+                                      save_pile_ups)
+    from dentist_tpu.models.mask import coverage_mask, pack_chain_intervals
+    from dentist_tpu.models.pileups import (ChainCtx, CollectConfig,
+                                            collect_pile_ups)
+    from dentist_tpu.models.sequences import SeqStore, load_assembly
 
-    n_pu = len(load_pile_ups(os.path.join(wd, "pile-ups.npz")))
+    contigs, structure = load_assembly(os.path.join(wd, "asm.fasta"))
+    store = SeqStore(np.concatenate(reads),
+                     np.array([len(r) for r in reads]),
+                     [f"read{i+1}" for i in range(len(reads))])
+    from dentist_tpu.ops.mapper import MapperConfig, map_reads
+
+    las, chains = map_reads(contigs.codes, contigs.offsets, contigs.lengths,
+                            reads, config=MapperConfig(),
+                            query_store=(store.codes, store.offsets))
+    rep = coverage_mask(pack_chain_intervals(las), contigs.lengths, 0, 60)
+    pile_ups = collect_pile_ups(ChainCtx(las, chains, contigs.lengths,
+                                         store.lengths),
+                                structure.gaps, rep, CollectConfig(),
+                                contigs=contigs, reads=store)
+    save_alignments(os.path.join(wd, "reads.las.npz"), las, chains)
+    save_mask(os.path.join(wd, "rep.mask.npz"), rep)
+    save_pile_ups(os.path.join(wd, "pile-ups.npz"), pile_ups)
+    n_pu = len(pile_ups)
 
     def run_process(tag, batch=None):
         args = ["process-pile-ups", "asm.fasta", "reads.fasta",
