@@ -1324,8 +1324,9 @@ def _run_round_windowed(jobs, W: int, mesh=None):
     prof_add("cons.win.lanes", hits=total)
 
     _t_stitch = __import__("time").perf_counter()
-    outs = []
-    for wi, job in enumerate(jobs):
+
+    def stitch_one(wi):
+        job = jobs[wi]
         template, reads = job.template, job.reads
         T = len(template)
         n = len(reads)
@@ -1390,14 +1391,25 @@ def _run_round_windowed(jobs, W: int, mesh=None):
         last_c = T - np.argmax(covered_cols[:, ::-1], axis=1)
         spans = np.stack([np.where(covered, first, 0),
                           np.where(covered, last_c, 0)], axis=1)
-        outs.append(_RoundOut(sym_g, ins_g, jp_g, spans,
-                              np.where(covered, diffs, 0), win, covered,
-                              fresh_cols, fresh_bnds))
+        fails = []
         # defensively retry reads whose windows all failed to stitch
         if meta is not None and job.dirty is None:
             for ri in np.flatnonzero(~covered):
                 if (wi, int(ri)) not in failures and len(reads[ri]):
-                    failures.append((wi, int(ri)))
+                    fails.append((wi, int(ri)))
+        return _RoundOut(sym_g, ins_g, jp_g, spans,
+                         np.where(covered, diffs, 0), win, covered,
+                         fresh_cols, fresh_bnds), fails
+
+    # per-job stitching is independent numpy; thread it (serial, it was
+    # ~10 s at 147-pile-up scale on a 4-core host)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        stitched = list(ex.map(stitch_one, range(len(jobs))))
+    outs = [s[0] for s in stitched]
+    for _, fails in stitched:
+        failures.extend(fails)
     prof_add("cons.win.stitch", __import__("time").perf_counter() - _t_stitch,
              hits=len(jobs))
     return outs, failures
@@ -2181,8 +2193,12 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
 
     _t_g = __import__("time").perf_counter()
     for NB, gidx in by_nb.items():
-        parts = [_assemble_gain_group(*groups[gi][:6], NB, HALF, RW, TW)
-                 for gi in gidx]
+        # per-group window assembly is independent numpy; thread it
+        # (the serial loop was ~10 s/run at 147-pile-up scale)
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            parts = list(ex.map(
+                lambda gi: _assemble_gain_group(*groups[gi][:6], NB, HALF,
+                                                RW, TW), gidx))
         WIN = np.concatenate([p[0] for p in parts])
         WLEN = np.concatenate([p[1] for p in parts])
         EWIN = np.concatenate([p[2] for p in parts])
