@@ -32,6 +32,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -206,7 +207,8 @@ def main():
     from dentist_tpu.utils.log import (STAGE_SECONDS, reset_stage_seconds,
                                        tee_log_file)
 
-    c_log = tempfile.mktemp(suffix=".bench-c.log")
+    fd, c_log = tempfile.mkstemp(suffix=".bench-c.log")
+    os.close(fd)
     tee_log_file(c_log)
     reset_stage_seconds()
     t0 = time.time()
@@ -229,7 +231,10 @@ def main():
     try:
         with open(c_log) as fh:
             for line in fh:
-                ev = json.loads(line)
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue  # truncated/interleaved tee line
                 if ev.get("event") == "processPileUps":
                     n_pu_e2e = ev.get("numPileUps", 0)
     except OSError:

@@ -486,9 +486,18 @@ class Aligner:
         BW = bw_for(R, W)
         q_codes = self._query_store[0]
         with ARENA.lock:  # both offsets + array from one arena state
-            tgt_base = ARENA.offset_of(self.target_codes)
-            q_base = (tgt_base if q_codes is self.target_codes
-                      else ARENA.offset_of(q_codes))
+            for _attempt in range(3):
+                epoch0 = ARENA.epoch
+                tgt_base = ARENA.offset_of(self.target_codes)
+                q_base = (tgt_base if q_codes is self.target_codes
+                          else ARENA.offset_of(q_codes))
+                # the second upload may reset a full arena, invalidating
+                # the first offset — redo both from the fresh arena
+                if ARENA.epoch == epoch0:
+                    break
+            else:
+                raise MemoryError("target + query stores do not fit the "
+                                  "device arena together")
             arena = ARENA.array
         self._warm_resident(arena, W)
         meta = np.zeros((12, N), dtype=np.int32)
@@ -873,7 +882,9 @@ def _flat_query_store(queries: list) -> tuple:
     offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
     flat = (np.concatenate([np.asarray(q, dtype=np.uint8) for q in queries])
             if queries else np.zeros(0, np.uint8))
-    if len(_FLAT_QUERY_CACHE) >= 4:
+    # one entry: retained flat copies pin GB-scale host RAM at
+    # stress scale; only bench-style repeated calls benefit from reuse
+    if len(_FLAT_QUERY_CACHE) >= 1:
         _FLAT_QUERY_CACHE.pop(next(iter(_FLAT_QUERY_CACHE)))
     _FLAT_QUERY_CACHE[key] = (flat, offs, queries)
     return flat, offs

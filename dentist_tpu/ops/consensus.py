@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -789,9 +790,12 @@ def _run_round_full(jobs, W: int, mesh=None) -> list[_RoundOut]:
             fetched = list(ex.map(lambda h: np.asarray(h[0]), handles))
     prof_add("cons.full.fetch", nbytes=sum(a.nbytes for a in fetched), hits=0)
     # decode chunks on a pool (numpy releases the GIL in the big
-    # unpack/cumsum passes; serial decode was ~1.7 s/chunk at scale)
+    # unpack/cumsum passes; serial decode was ~1.7 s/chunk at scale).
+    # Multi-process meshes serialize (collect's overflow refetch
+    # dispatches collectives, which must enqueue in one order per
+    # process — see parallel.dp.dispatch_workers)
     with prof("cons.full.collect"):
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=dispatch_workers(4)) as ex:
             list(ex.map(
                 lambda t: collect(t[0][0], t[0][1], t[2], t[1][1]),
                 zip(plan, handles, fetched)))
@@ -1249,9 +1253,26 @@ def _run_round_windowed(jobs, W: int, mesh=None):
                         for j in jobs))
     tpl_bases = None
     if res_mode:
+        # preflight: the read store and the per-round templates must be
+        # able to coexist in the arena, or the upload-retry loop in the
+        # dispatcher could thrash (each template upload resetting the
+        # arena and evicting the read store)
+        from .banded import (RESIDENT_PAD, _ARENA_CHUNK, _RESIDENT_LADDER,
+                             _arena_capacity)
+
+        def _bucket(n):
+            b = next(x for x in _RESIDENT_LADDER if max(n, 4) <= x)
+            return max(b, -(-n // _ARENA_CHUNK) * _ARENA_CHUNK)
+
+        seg_len = len(jobs[0].seg_res.codes)
+        tpl_len = sum(len(j.template) for j in jobs)
+        if (_bucket(seg_len) + _bucket(tpl_len) + 3 * RESIDENT_PAD
+                > _arena_capacity()):
+            res_mode = False
+    if res_mode:
         tpl_bases = np.concatenate(
             [[0], np.cumsum([len(j.template) for j in jobs])])[:-1]
-    _t_build = __import__("time").perf_counter()
+    _t_build = time.perf_counter()
     for wi, job in enumerate(jobs):
         template, reads, jp = job.template, job.reads, job.jpath
         T = len(template)
@@ -1309,7 +1330,7 @@ def _run_round_windowed(jobs, W: int, mesh=None):
         per_job.append((rr, kk, i0, kend, b0, b1, jl, total))
         total += L
 
-    prof_add("cons.win.build", __import__("time").perf_counter() - _t_build,
+    prof_add("cons.win.build", time.perf_counter() - _t_build,
              hits=len(jobs))
     resident = None
     if res_mode:
@@ -1317,13 +1338,13 @@ def _run_round_windowed(jobs, W: int, mesh=None):
                     np.concatenate([j.template for j in jobs])
                     if jobs else np.zeros(0, np.uint8),
                     lane_tstart, lane_sstart)
-    with prof("cons.win.dispatch+fetch", nbytes=total * 4 * _WROW):
+    with prof("cons.win.dispatch+fetch"):  # bytes: see cons.win.fetch
         fetched = _dispatch_windowed_lanes(
             lane_tpl, lane_tlen, lane_seg, lane_seglen, lane_loc0, total, W,
             mesh, resident=resident)
     prof_add("cons.win.lanes", hits=total)
 
-    _t_stitch = __import__("time").perf_counter()
+    _t_stitch = time.perf_counter()
 
     def stitch_one(wi):
         job = jobs[wi]
@@ -1410,7 +1431,7 @@ def _run_round_windowed(jobs, W: int, mesh=None):
     outs = [s[0] for s in stitched]
     for _, fails in stitched:
         failures.extend(fails)
-    prof_add("cons.win.stitch", __import__("time").perf_counter() - _t_stitch,
+    prof_add("cons.win.stitch", time.perf_counter() - _t_stitch,
              hits=len(jobs))
     return outs, failures
 
@@ -1444,13 +1465,18 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
 
         seg_ref, tpl_flat, lane_tstart, lane_sstart = resident
         with ARENA.lock:  # both offsets + array from one arena state
-            while True:
+            for _attempt in range(4):
                 seg_base = seg_ref.offset()
                 tpl_base = ARENA.offset_of(tpl_flat, cache=False)
                 # the template upload may have reset a full arena,
-                # wiping the read store — redo both until stable
+                # wiping the read store — redo both until stable (the
+                # caller's preflight guarantees they coexist, so this
+                # settles in <= 2 iterations)
                 if ARENA.epoch == seg_ref.epoch:
                     break
+            else:
+                raise MemoryError(
+                    "consensus stores do not fit the device arena")
             arena = ARENA.array
         tstart = np.concatenate(lane_tstart).astype(np.int32) + tpl_base
         sstart = np.concatenate(lane_sstart).astype(np.int32) + seg_base
@@ -1558,7 +1584,10 @@ def _dispatch_windowed_lanes(lane_tpl, lane_tlen, lane_seg, lane_seglen,
         # cap-overflow lanes (error-dense windows): exact dense refetch
         # of just those lanes through the dense kernel
         prof_add("cons.win.ovf_refetch", hits=len(ovf_idx))
-        allsel = np.asarray(ovf_idx, dtype=np.int64)
+        # sorted: the decode pool accumulates in completion order, but
+        # refetch chunk composition must be deterministic (multi-process
+        # meshes enqueue these dispatches as collectives)
+        allsel = np.asarray(sorted(ovf_idx), dtype=np.int64)
         for c0 in range(0, len(allsel), _WCHUNK):
             sub = allsel[c0 : c0 + _WCHUNK]
             packed = np.asarray(dispatch(sub, dense=True))
@@ -2191,7 +2220,7 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
     inflight = []
     from concurrent.futures import ThreadPoolExecutor
 
-    _t_g = __import__("time").perf_counter()
+    _t_g = time.perf_counter()
     for NB, gidx in by_nb.items():
         # per-group window assembly is independent numpy; thread it
         # (the serial loop was ~10 s/run at 147-pile-up scale)
@@ -2242,7 +2271,7 @@ def _window_gains_multi(groups, W_score: int = 16, HALF: int = 16, mesh=None):
             inflight.append((dst[sl], OK[sl], n_chunk, out))
 
     prof_add("cons.gains.assemble+enqueue",
-             __import__("time").perf_counter() - _t_g)
+             time.perf_counter() - _t_g)
     with prof("cons.gains.fetch"):
         with ThreadPoolExecutor(max_workers=4) as ex:
             fetched = list(ex.map(lambda t: np.asarray(t[3]), inflight))
@@ -2461,7 +2490,7 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
         edited: list[int] = []
         next_active: list[int] = []
         dirty_now: dict[int, np.ndarray] = {}
-        _t_apply = __import__("time").perf_counter()
+        _t_apply = time.perf_counter()
         for p in active:
             mine = sorted(((caches[p][c], c) for c in per_cands[p]),
                           key=lambda x: -x[0])
@@ -2522,7 +2551,7 @@ def _polish_batch(states, read_sets, W: int, max_rounds: int = 8, mesh=None,
             edited.append(p)
             next_active.append(p)
         prof_add("cons.polish.apply",
-                 __import__("time").perf_counter() - _t_apply)
+                 time.perf_counter() - _t_apply)
 
         # ---- realign only the windows the edits touched
         if edited:

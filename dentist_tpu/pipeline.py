@@ -197,7 +197,7 @@ def masks_for(contigs: SeqStore, read_list, cfg: PipelineConfig,
 
 @trace_execution
 def close_gaps(contigs, structure, reads: SeqStore, read_list, cfg: PipelineConfig):
-    resume = _ResumeState(cfg, contigs, reads)
+    resume = _ResumeState(cfg, contigs, reads, structure)
     loaded = resume.load_masks()
     if loaded is not None:
         dust, repeats, homogenized, las, chains = loaded
@@ -415,19 +415,29 @@ class _ResumeState:
     FASTA or option can never silently reuse stale state.
     """
 
-    def __init__(self, cfg: PipelineConfig, contigs, reads):
+    def __init__(self, cfg: PipelineConfig, contigs, reads, structure=None):
         import hashlib
         import json as _json
 
         self.dir = cfg.workdir if (cfg.workdir and cfg.resume) else None
         self.valid = False
-        if cfg.workdir:
-            os.makedirs(cfg.workdir, exist_ok=True)
-        if not self.dir:
+        if not cfg.workdir:
             return
+        os.makedirs(cfg.workdir, exist_ok=True)
         h = hashlib.blake2b(digest_size=16)
         for arr in (contigs.codes, contigs.lengths, reads.codes, reads.lengths):
             h.update(np.ascontiguousarray(arr).tobytes())
+        if structure is not None:
+            # the scaffold structure (gap positions/sizes, contig->scaffold
+            # grouping) drives collect and output; contig codes alone do
+            # not capture a changed N-run length
+            for g in structure.gaps:
+                h.update(np.asarray(
+                    [g.begin_global_contig_id, g.end_global_contig_id,
+                     g.scaffold_id, g.begin, g.end], np.int64).tobytes())
+            for c in structure.contigs:
+                h.update(np.asarray(
+                    [c.scaffold_id, c.begin, c.end], np.int64).tobytes())
         for f in ("read_coverage", "max_coverage_self", "min_spanning_reads",
                   "min_anchor_length", "join_policy", "max_insertion_error",
                   "allow_single_reads", "ploidy", "max_alignment_error",
@@ -435,20 +445,24 @@ class _ResumeState:
                   "min_reads_per_pile_up", "proper_allowance"):
             h.update(repr(getattr(cfg, f)).encode())
         self.token = h.hexdigest()
-        mpath = os.path.join(self.dir, "manifest.json")
-        try:
-            with open(mpath) as fh:
-                self.valid = _json.load(fh).get("fingerprint") == self.token
-        except (OSError, ValueError):
-            self.valid = False
+        mpath = os.path.join(cfg.workdir, "manifest.json")
+        if self.dir:
+            try:
+                with open(mpath) as fh:
+                    self.valid = _json.load(fh).get("fingerprint") == self.token
+            except (OSError, ValueError):
+                self.valid = False
         if not self.valid:
-            # inputs or options changed: stale artifacts must not mix
-            # with fresh ones (pile-ups index into their own run's las)
+            # inputs or options changed (or resume disabled): stale
+            # artifacts must not mix with the fresh ones this run's
+            # checkpoints write (pile-ups index into their own run's las),
+            # and the manifest must describe THIS run's artifacts so a
+            # later resumed run cannot adopt mismatched state
             for name in ("dust.mask.npz", "repeats.mask.npz",
                          "repeats-H.mask.npz", "reads.las.npz",
                          "pile-ups.npz", "insertions.npz", "validation.json"):
                 try:
-                    os.remove(os.path.join(self.dir, name))
+                    os.remove(os.path.join(cfg.workdir, name))
                 except OSError:
                     pass
             with open(mpath, "w") as fh:
