@@ -95,9 +95,12 @@ def _bucket_for(r: int) -> int:
 
 
 _SLOPE_MIN, _SLOPE_MAX = 0.7, 1.4
-#: lane-count sub-buckets: small flushes dispatch with few padded lanes
-#: (3 compiled shapes per window bucket instead of one full-width one)
-_LANE_BUCKETS = (128, 256, 1024)
+#: lane-count sub-buckets: small flushes dispatch with few padded lanes.
+#: TWO shapes per window bucket: every compiled program costs a
+#: per-process load over the device tunnel (the program server also
+#: evicts under pressure), which round-5 measurements put far above the
+#: padded-compute cost of the dropped middle bucket
+_LANE_BUCKETS = (128, 1024)
 
 
 def _slope_bin_width(bucket: int, W: int) -> float:
